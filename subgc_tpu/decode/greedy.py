@@ -1,0 +1,66 @@
+"""Batched greedy / top-k sampling decode.
+
+Reimplements `models/AttModel.py:236-326` (`_sample`) as one ``lax.scan`` over
+time with the sub-graph axis batched — the reference already batches this path
+over sub-graphs; here it additionally runs fully inside jit with static
+shapes (no early-exit break; finished sequences are masked, which is
+numerically identical because outputs past EOS are zeroed in both).
+
+Semantics preserved:
+* greedy: argmax over log-softmax vocab distribution
+* top-k sampling (AttModel.py:295-303): re-softmax at temperature
+  ``topk_temp``, keep top ``the_k`` logits, sample; the recorded logprob is
+  the *un-renormalized* tempered log-softmax value, as in the reference
+* "unfinished" latching: first EOS (token 0) zeroes the rest of the sequence
+* optional attention-weight capture [S, T+1, N] for grounding
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EvalConfig, ModelConfig
+from ..models import decoder as D
+
+
+class SampleOut(NamedTuple):
+    seq: jnp.ndarray           # [S, T] int32
+    logprobs: jnp.ndarray      # [S, T] per-token logprob of chosen token
+    att_weights: jnp.ndarray   # [S, T+1, N] attention weights
+
+
+def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
+           ecfg: EvalConfig, rng: Optional[jax.Array] = None) -> SampleOut:
+    S = feats.fc.shape[0]
+    T = cfg.seq_length
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def step(carry, t):
+        state, it, unfinished, step_rng = carry
+        lp, state, att_w = D.decode_step(params, state, it, feats, cfg)
+
+        if ecfg.use_topk_sampling:
+            step_rng, r = jax.random.split(step_rng)
+            lp2 = jax.nn.log_softmax(lp / ecfg.topk_temp, axis=-1)
+            kth = jax.lax.top_k(lp2, ecfg.the_k)[0][:, -1:]
+            masked = jnp.where(lp2 >= kth, lp2, -jnp.inf)
+            nxt = jax.random.categorical(r, masked, axis=-1)
+            chosen_lp = jnp.take_along_axis(lp2, nxt[:, None], axis=-1)[:, 0]
+        else:
+            nxt = jnp.argmax(lp, axis=-1)
+            chosen_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+
+        new_unfinished = jnp.where(t == 0, nxt > 0, unfinished & (nxt > 0))
+        nxt = (nxt * new_unfinished).astype(jnp.int32)
+        out = (nxt, chosen_lp, att_w)
+        return (state, nxt, new_unfinished, step_rng), out
+
+    init = (D.init_state(S, cfg), jnp.zeros((S,), jnp.int32),
+            jnp.ones((S,), bool), base_rng)
+    _, (seqs, lps, att_ws) = jax.lax.scan(step, init, jnp.arange(T + 1))
+
+    # the final (T-th) step only contributes its attention weights
+    return SampleOut(seq=seqs[:T].T, logprobs=lps[:T].T,
+                     att_weights=att_ws.transpose(1, 0, 2))

@@ -1,0 +1,165 @@
+"""TopDown attention-LSTM decoder as pure functions.
+
+Reimplements the reference's two-layer attention LSTM (`models/AttModel.py:
+392-471`) and its teacher-forced training loop (`AttModel.py:157-175`) the
+TPU way: one fused step function used both under ``lax.scan`` (training /
+greedy decode) and inside the vectorized beam search.
+
+Semantics preserved exactly:
+* att-LSTM input = [prev lang-LSTM h, embedded fc feature, word embedding]
+* additive attention: tanh(p_att + W h) -> scalar -> softmax over nodes,
+  multiplied by the node mask and renormalized (AttModel.py:445-471)
+* lang-LSTM input = [attended feature, att-LSTM h]
+* logits -> log_softmax over vocab_size+1
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+class DecoderState(NamedTuple):
+    h_att: jnp.ndarray   # [S, R]
+    c_att: jnp.ndarray
+    h_lang: jnp.ndarray
+    c_lang: jnp.ndarray
+
+
+class PreparedFeatures(NamedTuple):
+    fc: jnp.ndarray       # [S, R]    embedded global (read-out) feature
+    att: jnp.ndarray      # [S, N, R] embedded node features
+    p_att: jnp.ndarray    # [S, N, H] pre-projected for attention
+    mask: jnp.ndarray     # [S, N]
+
+
+def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
+    z = jnp.zeros((batch, cfg.rnn_size), jnp.float32)
+    return DecoderState(z, z, z, z)
+
+
+def _dense(x, p, dt):
+    if dt == jnp.float32:
+        return x @ p["w"] + p["b"]
+    return (x.astype(dt) @ p["w"].astype(dt)).astype(jnp.float32) + p["b"]
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _lstm_cell(p, x, h, c, dt):
+    g = _dense(x, {"w": p["w_ih"], "b": p["b_ih"]}, dt) \
+        + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
+    i, f, gg, o = jnp.split(g, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    o = jax.nn.sigmoid(o)
+    gg = jnp.tanh(gg)
+    c2 = f * c + i * gg
+    return o * jnp.tanh(c2), c2
+
+
+def prepare_features(params, fc_feats, att_feats, att_mask, cfg: ModelConfig,
+                     train: bool = False, rng=None) -> PreparedFeatures:
+    """fc_embed / att_embed / ctx2att projections (AttModel.py:356-368).
+
+    The reference packs variable-length node lists before att_embed
+    (pack_wrapper); with static shapes we apply the projection everywhere and
+    rely on the attention mask, which is numerically identical for the
+    shipped configs (use_bn=0).
+    """
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    r1, r2, r3 = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
+    fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
+    fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
+    fc = _dropout(fc, cfg.drop_prob_lm, r1, train)
+    att = jax.nn.relu(_dense(att_feats, dec["att_embed"], dt))
+    att = _dropout(att, cfg.drop_prob_lm, r2, train)
+    p_att = _dense(att, dec["ctx2att"], dt)
+    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask)
+
+
+def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):
+    dec = params["decoder"]
+    xt = jax.nn.relu(dec["embed"][token])
+    return _dropout(xt, cfg.drop_prob_lm, rng, train)
+
+
+def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
+    """Additive attention with post-softmax masking (AttModel.py:445-471)."""
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    att_h = _dense(h, dec["h2att"], dt)                       # [S, H]
+    dot = jnp.tanh(feats.p_att + att_h[:, None, :])           # [S, N, H]
+    e = _dense(dot, dec["alpha_net"], dt)[..., 0]             # [S, N]
+    w = jax.nn.softmax(e, axis=-1)
+    w = w * feats.mask
+    w = w / w.sum(-1, keepdims=True)
+    att_res = jnp.einsum("sn,snr->sr", w.astype(dt), feats.att.astype(dt),
+                         preferred_element_type=jnp.float32)
+    return att_res, w
+
+
+def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
+                cfg: ModelConfig, train: bool = False, rng=None
+                ) -> Tuple[jnp.ndarray, DecoderState, jnp.ndarray]:
+    """One decoder step.  token [S] int32 -> (logprobs [S,V+1], state, att_w)."""
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    r_emb, r_out = (jax.random.split(rng) if rng is not None else (None, None))
+    xt = embed_token(params, token, cfg, train, r_emb)
+
+    x_att = jnp.concatenate([state.h_lang, feats.fc, xt], axis=-1)
+    h_att, c_att = _lstm_cell(dec["att_lstm"], x_att, state.h_att, state.c_att, dt)
+
+    att_res, att_w = attention(params, h_att, feats, cfg)
+
+    x_lang = jnp.concatenate([att_res, h_att], axis=-1)
+    h_lang, c_lang = _lstm_cell(dec["lang_lstm"], x_lang, state.h_lang,
+                                state.c_lang, dt)
+    out = _dropout(h_lang, cfg.drop_prob_lm, r_out, train)
+    logits = _dense(out, dec["logit"], dt)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return logprobs, DecoderState(h_att, c_att, h_lang, c_lang), att_w
+
+
+def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
+                    train: bool = False, rng=None, ss_prob: float = 0.0):
+    """Teacher-forced forward over a [S, T+2] label tensor (AttModel.py:157-175).
+
+    Returns logprobs [S, T+1, V+1] for predicting seq[:, 1:].  Scheduled
+    sampling: for steps i>=1, with prob ss_prob per sample the input token is
+    drawn from the previous step's distribution instead of the ground truth.
+    The per-token python loop of the reference becomes one ``lax.scan``.
+    """
+    S, T2 = seq.shape
+    n_steps = T2 - 1
+    V1 = cfg.vocab_size + 1
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def step(carry, inp):
+        state, prev_lp, step_rng = carry
+        i, token_gt = inp
+        step_rng, r_ss, r_pick, r_drop = jax.random.split(step_rng, 4)
+        if train and ss_prob > 0.0:
+            use_sample = jax.random.uniform(r_ss, (S,)) < ss_prob
+            sampled = jax.random.categorical(r_pick, prev_lp, axis=-1)
+            token = jnp.where((i >= 1) & use_sample, sampled, token_gt)
+        else:
+            token = token_gt
+        lp, state, _ = decode_step(params, state, token, feats, cfg, train,
+                                   r_drop if train else None)
+        return (state, lp, step_rng), lp
+
+    init = (init_state(S, cfg), jnp.zeros((S, V1), jnp.float32), base_rng)
+    xs = (jnp.arange(n_steps), seq[:, :n_steps].T)
+    _, lps = jax.lax.scan(step, init, xs)
+    return lps.transpose(1, 0, 2)   # [S, T+1, V+1]

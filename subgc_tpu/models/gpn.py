@@ -1,0 +1,179 @@
+"""Sub-graph proposal network (sGPN) + sub-graph NMS.
+
+Reimplements `models/lib/gpn.py` TPU-first:
+
+* Sub-graph feature extraction is a direct gather from per-image node
+  features (no x5 expansion copy; the reference gathers from pre-expanded
+  tensors, `gpn.py:152-172`).
+* Pooling uses the node mask directly instead of the diagonal pool matrix
+  bmm (`gpn.py:174-185`) — identical numerics because the pool matrix is
+  exactly diag(mask-left-packed).
+* Sub-graph NMS runs **on device** as a ``lax.fori_loop`` over a precomputed
+  pairwise node-IoU matrix instead of the reference's host round-trip
+  (`gpn.py:108-138`), returning a fixed-size keep list (static shapes).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+def _dense(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def graph_pooling(gpn_att, att_mask):
+    """Masked max+mean pooling over sub-graph nodes (gpn.py:174-185).
+
+    gpn_att [..., N, L], att_mask [..., N] -> [..., 2L].
+
+    Matches the reference exactly: features are zeroed outside the mask and
+    the max is taken over *all* rows (post-GCN features are ReLU outputs,
+    >= 0, so zero rows never win spuriously vs. the reference's bmm).
+    """
+    clean = gpn_att * att_mask[..., None]
+    max_feat = clean.max(-2)
+    mean_feat = clean.sum(-2) / att_mask.sum(-1, keepdims=True)
+    return jnp.concatenate([max_feat, mean_feat], axis=-1)
+
+
+def gpn_score(params, read_out, cfg: ModelConfig, train: bool = False, rng=None):
+    """MLP + sigmoid sub-graph score (gpn.py:50-55)."""
+    g = params["gpn"]
+    h = jax.nn.relu(_dense(read_out, g["fc1"]))
+    if train and rng is not None:
+        keep = jax.random.bernoulli(rng, 0.5, h.shape)
+        h = jnp.where(keep, h * 2.0, 0.0)
+    return jax.nn.sigmoid(_dense(h, g["fc2"]))[..., 0]
+
+
+def readout_project(params, read_out):
+    """read_out_proj: 2L -> hid -> 2L, two Linears, no activation (gpn.py:35-38)."""
+    g = params["gpn"]
+    return _dense(_dense(read_out, g["readout1"]), g["readout2"])
+
+
+def bce_loss(scores, targets, eps_clamp: float = 100.0):
+    """torch.nn.BCELoss with its log clamp at -100 (gpn.py:33,57)."""
+    log_s = jnp.clip(jnp.log(scores), -eps_clamp)
+    log_1s = jnp.clip(jnp.log1p(-scores), -eps_clamp)
+    return -(targets * log_s + (1.0 - targets) * log_1s).mean()
+
+
+def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
+                      cfg: ModelConfig, train: bool = True, rng=None):
+    """Training branch (gpn.py:41-81).
+
+    x_obj        [B, N, L]         per-image GCN node features
+    sub_obj_ind  [S, 2, half, N]   pos/neg sub-graph node indices per sentence
+    sub_att_mask [S, 2, half, N]
+    img_ix       [S]               image row for each sentence
+
+    Returns (gpn_loss, scores [S,2,half], att_feats [S,N,L], fc_feats [S,2L],
+    att_masks [S,N]) where the selected sub-graph per sentence is the
+    highest-scoring positive.
+    """
+    S, two, half, N = sub_obj_ind.shape
+    gathered = x_obj[img_ix[:, None, None, None], sub_obj_ind]   # [S,2,half,N,L]
+    read_out = graph_pooling(gathered, sub_att_mask)             # [S,2,half,2L]
+
+    use_score = not cfg.use_gt_subg
+    if use_score:
+        scores = gpn_score(params, read_out, cfg, train, rng)    # [S,2,half]
+        targets = jnp.stack([jnp.ones((S, half)), jnp.zeros((S, half))], axis=1)
+        gpn_loss = bce_loss(scores, targets)
+    else:
+        scores = jnp.ones((S, two, half), jnp.float32)
+        gpn_loss = None
+
+    best = jnp.argmax(scores[:, 0, :], axis=-1)                  # [S]
+    ar = jnp.arange(S)
+    chosen_ind = sub_obj_ind[ar, 0, best]                        # [S,N]
+    att_feats = x_obj[img_ix[:, None], chosen_ind]               # [S,N,L]
+    att_masks = sub_att_mask[ar, 0, best]
+    ro = jax.lax.stop_gradient(read_out[ar, 0, best])
+    fc_feats = readout_project(params, ro)
+    return gpn_loss, scores, att_feats, fc_feats, att_masks
+
+
+class GPNTestOut(NamedTuple):
+    scores: jnp.ndarray      # [S]
+    att_feats: jnp.ndarray   # [S, N, L]
+    fc_feats: jnp.ndarray    # [S, 2L]
+    att_masks: jnp.ndarray   # [S, N]
+
+
+def gpn_test_forward(params, x_obj_img, sub_obj_ind, sub_att_mask,
+                     cfg: ModelConfig) -> GPNTestOut:
+    """Test branch before NMS (gpn.py:83-97): score ALL sub-graphs of one image.
+
+    x_obj_img [N, L]; sub_obj_ind/sub_att_mask [S, N] (padded sub-graph axis).
+    """
+    gathered = x_obj_img[sub_obj_ind]                            # [S,N,L]
+    read_out = graph_pooling(gathered, sub_att_mask)
+    if not cfg.use_gt_subg:
+        scores = gpn_score(params, read_out, cfg, train=False)
+    else:
+        scores = jnp.ones((sub_obj_ind.shape[0],), jnp.float32)
+    fc_feats = readout_project(params, read_out)
+    return GPNTestOut(scores=scores, att_feats=gathered, fc_feats=fc_feats,
+                      att_masks=sub_att_mask)
+
+
+def node_membership(sub_obj_ind, sub_att_mask, n_obj: int):
+    """[S, N] indices+mask -> [S, n_obj] {0,1} node-set membership matrix."""
+    oh = jax.nn.one_hot(sub_obj_ind, n_obj, dtype=jnp.float32)   # [S,N,n_obj]
+    mem = (oh * sub_att_mask[..., None]).sum(-2)
+    return jnp.minimum(mem, 1.0)
+
+
+def pairwise_node_iou(mem):
+    """Pairwise node-set IoU from membership rows (gpn.py:140-150)."""
+    sizes = mem.sum(-1)
+    inter = mem @ mem.T
+    union = sizes[:, None] + sizes[None, :] - inter
+    return inter / jnp.maximum(union, 1.0)
+
+
+def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
+                 iou_thres: float, max_keep: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy score-descending sub-graph NMS, fully on device (gpn.py:108-138).
+
+    Returns (keep_ind [max_keep] int32 in ascending *original* order — the
+    reference keeps original score order via `orig_keep.nonzero()` — and
+    keep_valid [max_keep] bool).
+    """
+    S = scores.shape[0]
+    max_keep = min(max_keep, S)   # keep list can't exceed the bucket
+    neg_inf = jnp.float32(-jnp.inf)
+    s = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s)                      # descending, stable on ties
+    mem = node_membership(sub_obj_ind, sub_att_mask, cfg.obj_num)
+    iou = pairwise_node_iou(mem)
+    iou_sorted = iou[order][:, order]
+    valid_sorted = valid[order]
+
+    idx = jnp.arange(S)
+
+    def body(i, keep):
+        row_kills = (iou_sorted[i] > iou_thres) & (idx > i)
+        alive_i = keep[i]
+        return jnp.where(alive_i & row_kills, False, keep)
+
+    keep_sorted = jax.lax.fori_loop(0, S, body, valid_sorted)
+    # cap at max_keep highest-scoring survivors (gpn.py:133-135)
+    rank_among_kept = jnp.cumsum(keep_sorted) - 1
+    keep_sorted = keep_sorted & (rank_among_kept < max_keep)
+
+    # back to original indices, ascending original order
+    keep_orig = jnp.zeros((S,), bool).at[order].set(keep_sorted)
+    sort_key = jnp.where(keep_orig, idx, idx + S)
+    packed = jnp.argsort(sort_key)[:max_keep]
+    n_kept = jnp.minimum(keep_orig.sum(), max_keep)
+    keep_valid = jnp.arange(max_keep) < n_kept
+    keep_ind = jnp.where(keep_valid, packed, 0)
+    return keep_ind.astype(jnp.int32), keep_valid

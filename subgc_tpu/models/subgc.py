@@ -1,0 +1,112 @@
+"""Full Sub-GC / Full-GC model: encoder + sGPN + decoder orchestration.
+
+Pure-function equivalents of the reference's `TopDownModel` call paths:
+
+* ``train_forward``  — `models/AttModel.py:122-177` (`_forward`)
+* ``encode_image``   — the shared encoder+sGPN+NMS prefix of `_sample` /
+  `_sample_sentences` (`AttModel.py:179-276`), producing prepared features
+  for the batched decoders in ``subgc_tpu.decode``.
+
+The reference runs the test path with 5 redundant sentence-slot copies and
+asserts b == 5 (`models/lib/gpn.py:84`); here the encoder runs once per image
+and the sub-graph axis is a first-class (padded, static) batch dimension.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EvalConfig, ModelConfig
+from ..graph import SceneGraph, SubgraphSet
+from . import decoder as D
+from . import encoder as E
+from . import gpn as G
+
+
+class EncodedImage(NamedTuple):
+    """Per-image decode-ready features over a static kept-sub-graph axis."""
+    feats: D.PreparedFeatures     # [Smax, ...]
+    scores: jnp.ndarray           # [Smax] sGPN scores of kept sub-graphs
+    keep_ind: jnp.ndarray         # [Smax] original sub-graph indices
+    keep_valid: jnp.ndarray       # [Smax] bool
+
+
+def train_forward(params, state, graph: SceneGraph, labels, sub_obj_ind,
+                  sub_att_mask, img_ix, cfg: ModelConfig, train: bool = True,
+                  rng=None, ss_prob: float = 0.0):
+    """Teacher-forced training forward.
+
+    labels [S, T+2] (S = B * seq_per_img); sub_* [S, 2, half, N]; img_ix [S].
+    Returns (logprobs [S, T+1, V+1], gpn_loss | None, scores, new_state).
+    """
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    x_obj, x_pred, new_state = E.encode_graph(params, state, graph, cfg, train)
+
+    if cfg.use_gpn:
+        gpn_loss, scores, att_feats, fc_feats, att_masks = G.gpn_train_forward(
+            params, x_obj, sub_obj_ind, sub_att_mask, img_ix, cfg, train, rngs[0])
+    else:
+        # Full-GC: full graph per sentence, detached mean-pool read-out
+        # (AttModel.py:140-149)
+        gpn_loss, scores = None, None
+        att_feats = x_obj[img_ix]                       # [S, N, L]
+        read_out = jax.lax.stop_gradient(att_feats.mean(1))
+        fc_feats = _full_graph_readout(params, read_out)
+        att_masks = jnp.zeros((att_feats.shape[0], cfg.obj_num),
+                              jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
+
+    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
+                               train, rngs[1])
+    logprobs = D.forward_teacher(params, feats, labels, cfg, train, rngs[2],
+                                 ss_prob)
+    return logprobs, gpn_loss, scores, new_state
+
+
+def _full_graph_readout(params, read_out):
+    ro = params["readout"]
+    return (read_out @ ro["readout1"]["w"] + ro["readout1"]["b"]) \
+        @ ro["readout2"]["w"] + ro["readout2"]["b"]
+
+
+def encode_image(params, state, graph: SceneGraph, subs: Optional[SubgraphSet],
+                 cfg: ModelConfig, ecfg: EvalConfig) -> EncodedImage:
+    """Encoder + sGPN + (optional) NMS for ONE image's test decode.
+
+    graph: batch-of-1 SceneGraph.  subs: the enumerated sub-graph set padded
+    to a static bucket ([S, N]/[S, K] arrays) or None for Full-GC.
+    """
+    x_obj, x_pred, _ = E.encode_graph(params, state, graph, cfg, train=False)
+
+    if not cfg.use_gpn:
+        # Full-GC (AttModel.py:196-206): one pseudo sub-graph = full graph
+        att_feats = x_obj[0:1]
+        read_out = att_feats.mean(1)
+        fc_feats = _full_graph_readout(params, read_out)
+        att_masks = jnp.zeros((1, cfg.obj_num), jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
+        feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
+        ones = jnp.ones((1,), jnp.float32)
+        return EncodedImage(feats=feats, scores=ones,
+                            keep_ind=jnp.zeros((1,), jnp.int32),
+                            keep_valid=jnp.ones((1,), bool))
+
+    out = G.gpn_test_forward(params, x_obj[0], subs.obj_ind, subs.att_mask, cfg)
+    use_nms = not ecfg.sct    # reference: use_nms = False if sct else True (AttModel.py:95)
+
+    if use_nms:
+        keep_ind, keep_valid = G.subgraph_nms(
+            out.scores, subs.obj_ind, subs.att_mask, subs.valid, cfg,
+            ecfg.gpn_nms_thres, ecfg.gpn_max_subg)
+    else:
+        smax = subs.obj_ind.shape[0]
+        keep_ind = jnp.arange(smax, dtype=jnp.int32)
+        keep_valid = subs.valid
+
+    att_feats = out.att_feats[keep_ind]
+    fc_feats = out.fc_feats[keep_ind]
+    att_masks = out.att_masks[keep_ind]
+    scores = out.scores[keep_ind]
+    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
+    return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
+                        keep_valid=keep_valid)

@@ -1,0 +1,131 @@
+"""Convert a reference PyTorch checkpoint (model-*.pth) to a subgc_tpu pytree.
+
+The reference ships pretrained `model-60000.pth` state_dicts
+(`pretrained/README.md`, `DATA.md:47-62`); this tool maps them onto the
+subgc_tpu parameter layout so paper-parity evals can run without retraining.
+
+Layout differences handled here:
+* torch Linear stores weight [out, in]; subgc_tpu stores [in, out]
+* LSTMCell weight_ih/weight_hh [4H, in] -> w_ih/w_hh [in, 4H] (gate order
+  i,f,g,o is preserved)
+* BatchNorm running stats go to the separate mutable `state` pytree
+
+Usage:
+    python tools/convert_torch_ckpt.py model-60000.pth out.npz --full-gc
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _lin(sd, prefix):
+    return {"w": np.ascontiguousarray(sd[prefix + ".weight"].T.astype(np.float32)),
+            "b": sd[prefix + ".bias"].astype(np.float32)}
+
+
+def _lstm(sd, prefix):
+    return {"w_ih": np.ascontiguousarray(sd[prefix + ".weight_ih"].T.astype(np.float32)),
+            "w_hh": np.ascontiguousarray(sd[prefix + ".weight_hh"].T.astype(np.float32)),
+            "b_ih": sd[prefix + ".bias_ih"].astype(np.float32),
+            "b_hh": sd[prefix + ".bias_hh"].astype(np.float32)}
+
+
+def torch_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Tuple[dict, dict]:
+    """sd: {torch_name: np.ndarray}.  Returns (params, state) pytrees."""
+    params: dict = {}
+    state: dict = {}
+
+    fusion = {"obj_v_proj": _lin(sd, "obj_v_proj")}
+    if cfg.noun_fuse:
+        fusion["obj_emb"] = sd["sg_obj_embed.weight"].astype(np.float32)
+        fusion["obj_emb_proj"] = _lin(sd, "obj_emb_proj")
+    fusion["pred_emb"] = sd["sg_pred_embed.weight"].astype(np.float32)
+    fusion["pred_emb_proj"] = _lin(sd, "pred_emb_prj")
+    params["fusion"] = fusion
+
+    gcn_layers = []
+    gcn_state = []
+    for i in range(cfg.gcn_layers):
+        units = []
+        ustate = []
+        for u in range(4):
+            pre = f"gcn_backbone.gcn.{i}.gcn_collect.collect_units.{u}"
+            unit = {"lft": _lin(sd, pre + ".fc_lft"),
+                    "rgt": _lin(sd, pre + ".fc_rgt")}
+            if cfg.gcn_bn:
+                unit["bn"] = {"scale": sd[pre + ".bn.weight"].astype(np.float32),
+                              "bias": sd[pre + ".bn.bias"].astype(np.float32)}
+                ustate.append({"mean": sd[pre + ".bn.running_mean"].astype(np.float32),
+                               "var": sd[pre + ".bn.running_var"].astype(np.float32)})
+            else:
+                ustate.append({})
+            units.append(unit)
+        gcn_layers.append(units)
+        gcn_state.append(ustate)
+    params["gcn"] = gcn_layers
+    state["gcn_bn"] = gcn_state
+
+    if cfg.use_gpn:
+        gpn = {}
+        if not cfg.use_gt_subg:
+            gpn["fc1"] = _lin(sd, "gpn_layer.gpn_fc.0")
+            gpn["fc2"] = _lin(sd, "gpn_layer.gpn_fc.3")
+        gpn["readout1"] = _lin(sd, "gpn_layer.read_out_proj.0")
+        gpn["readout2"] = _lin(sd, "gpn_layer.read_out_proj.1")
+        params["gpn"] = gpn
+    else:
+        params["readout"] = {"readout1": _lin(sd, "read_out_proj.0"),
+                             "readout2": _lin(sd, "read_out_proj.1")}
+
+    params["decoder"] = {
+        "embed": sd["embed.0.weight"].astype(np.float32),
+        "fc_embed1": _lin(sd, "fc_embed.0"),
+        "fc_embed2": _lin(sd, "fc_embed.2"),
+        "att_embed": _lin(sd, "att_embed.0"),
+        "ctx2att": _lin(sd, "ctx2att"),
+        "att_lstm": _lstm(sd, "core.att_lstm"),
+        "lang_lstm": _lstm(sd, "core.lang_lstm"),
+        "h2att": _lin(sd, "core.attention.h2att"),
+        "alpha_net": _lin(sd, "core.attention.alpha_net"),
+        "logit": _lin(sd, "logit"),
+    }
+    return params, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("out")
+    ap.add_argument("--full-gc", action="store_true")
+    ap.add_argument("--use-gt-subg", action="store_true")
+    ap.add_argument("--vocab-size", type=int, default=9487)
+    args = ap.parse_args()
+
+    import torch
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from subgc_tpu.config import ModelConfig
+
+    if args.full_gc:
+        cfg = ModelConfig(vocab_size=args.vocab_size, noun_fuse=False,
+                          pred_emb_type=2, gcn_layers=4, gcn_residual=1,
+                          gcn_bn=True, use_gpn=False)
+    else:
+        cfg = ModelConfig(vocab_size=args.vocab_size,
+                          use_gt_subg=args.use_gt_subg)
+
+    sd_t = torch.load(args.ckpt, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd_t.items()}
+    params, state = torch_state_dict_to_params(sd, cfg)
+
+    from subgc_tpu.train.checkpoint import save_pytree_npz
+    save_pytree_npz(args.out, {"params": params, "state": state})
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
