@@ -1,0 +1,126 @@
+"""Benchmark: Sub-GC caption decode throughput on one TPU chip.
+
+Measures the flagship inference path at production dims (Sub_GC_Kar shapes,
+beam=3 to match BASELINE.json's metric): per image, one jitted program runs
+encoder + sGPN scoring of a 128-sub-graph bucket + NMS + beam-3 decode of the
+10 kept sub-graphs.  Metric = decoded captions / second / chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput number (SURVEY.md §6).
+Baseline here = the reference PyTorch model measured on this host's CPU
+(tools/bench_torch_ref.py, pinned in BASELINE_MEASURED below) scaled by a
+conservative 30x CPU->V100-GPU factor.  Re-pin by running
+`python tools/bench_torch_ref.py`.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# captions/sec of the reference PyTorch model on this host CPU (beam 3,
+# 10 decoded sub-graphs/image, Sub_GC_Kar dims) x30 GPU-estimate factor.
+# Measured by tools/bench_torch_ref.py; see that file for provenance.
+BASELINE_MEASURED_CPU = None   # filled by tools/bench_torch_ref.py -> baseline.json
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "torch_baseline.json")
+GPU_EST_FACTOR = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from subgc_tpu.config import EvalConfig, ModelConfig
+    from subgc_tpu.eval.runner import make_batched_infer_fn
+    from subgc_tpu.graph import SceneGraph, SubgraphSet
+    from subgc_tpu.models.params import init_params
+
+    n_images = int(os.environ.get("BENCH_IMAGES", "256"))
+    bucket = int(os.environ.get("BENCH_BUCKET", "128"))
+    beam = int(os.environ.get("BENCH_BEAM", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+
+    cfg = ModelConfig(vocab_size=9487)
+    ecfg = EvalConfig(beam_size=beam, gpn_nms_thres=0.75, gpn_max_subg=10,
+                      max_subgraph_bucket=bucket)
+    params, state = init_params(jax.random.PRNGKey(0), cfg,
+                                n_obj_names=cfg.num_obj_classes,
+                                n_pred_names=cfg.num_rel_classes)
+
+    rng = np.random.RandomState(0)
+    N, K = cfg.obj_num, cfg.rel_num
+
+    def make_image():
+        graph = SceneGraph(
+            obj_fmap=rng.rand(1, N, cfg.att_feat_size).astype("f"),
+            obj_dist=rng.rand(1, N, cfg.num_obj_classes).astype("f"),
+            rel_ind=rng.randint(0, N - 1, (1, K, 2)).astype(np.int32),
+            pred_dist=rng.rand(1, K, cfg.num_rel_classes).astype("f"))
+        obj_ind = np.full((bucket, N), N - 1, np.int32)
+        att_mask = np.zeros((bucket, N), np.float32)
+        att_mask[:, 0] = 1
+        for s in range(bucket):
+            n = rng.randint(3, 12)
+            obj_ind[s, :n] = rng.choice(N - 1, n, replace=False)
+            att_mask[s] = 0
+            att_mask[s, :n] = 1
+        subs = SubgraphSet(obj_ind=obj_ind,
+                           pred_ind=np.full((bucket, K), K - 1, np.int32),
+                           att_mask=att_mask,
+                           valid=np.ones((bucket,), bool))
+        return graph, subs
+
+    infer = make_batched_infer_fn(cfg, ecfg)
+
+    def stack(images):
+        gs, ss = zip(*images)
+        g = SceneGraph(*[np.concatenate([getattr(x, f) for x in gs])
+                         for f in SceneGraph._fields])
+        s = SubgraphSet(*[np.stack([getattr(x, f) for x in ss])
+                          for f in SubgraphSet._fields])
+        return g, s
+
+    put = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    n_batches = max(1, n_images // batch)
+    dev_batches = [tuple(map(put, stack([make_image() for _ in range(batch)])))
+                   for _ in range(min(n_batches, 4))]
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    out = infer(params, state, *dev_batches[0], key)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    total_caps = 0
+    pend = []
+    for i in range(n_batches):
+        g, s = dev_batches[i % len(dev_batches)]
+        pend.append(infer(params, state, g, s, key))
+    for out in pend:
+        total_caps += int(np.asarray(out["keep_valid"]).sum())
+    wall = time.time() - t0
+    cps = total_caps / wall
+
+    baseline = None
+    if os.path.exists(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            baseline = json.load(f).get("captions_per_sec_cpu")
+    vs = cps / (baseline * GPU_EST_FACTOR) if baseline else None
+
+    print(json.dumps({
+        "metric": f"captions/sec/chip (Sub_GC_Kar dims, beam={beam}, "
+                  f"bucket={bucket}, NMS keep 10)",
+        "value": round(cps, 2),
+        "unit": "captions/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

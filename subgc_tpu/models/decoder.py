@@ -132,7 +132,7 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
 
 
 def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
-                    train: bool = False, rng=None, ss_prob: float = 0.0):
+                    train: bool = False, rng=None, ss_prob=None):
     """Teacher-forced forward over a [S, T+2] label tensor (AttModel.py:157-175).
 
     Returns logprobs [S, T+1, V+1] for predicting seq[:, 1:].  Scheduled
@@ -149,7 +149,9 @@ def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
         state, prev_lp, step_rng = carry
         i, token_gt = inp
         step_rng, r_ss, r_pick, r_drop = jax.random.split(step_rng, 4)
-        if train and ss_prob > 0.0:
+        if train and ss_prob is not None:
+            # ss_prob may be a traced scalar (0.0 disables sampling at runtime
+            # without recompiling)
             use_sample = jax.random.uniform(r_ss, (S,)) < ss_prob
             sampled = jax.random.categorical(r_pick, prev_lp, axis=-1)
             token = jnp.where((i >= 1) & use_sample, sampled, token_gt)

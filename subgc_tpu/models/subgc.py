@@ -35,7 +35,7 @@ class EncodedImage(NamedTuple):
 
 def train_forward(params, state, graph: SceneGraph, labels, sub_obj_ind,
                   sub_att_mask, img_ix, cfg: ModelConfig, train: bool = True,
-                  rng=None, ss_prob: float = 0.0):
+                  rng=None, ss_prob=None):
     """Teacher-forced training forward.
 
     labels [S, T+2] (S = B * seq_per_img); sub_* [S, 2, half, N]; img_ix [S].
@@ -91,7 +91,13 @@ def encode_image(params, state, graph: SceneGraph, subs: Optional[SubgraphSet],
                             keep_ind=jnp.zeros((1,), jnp.int32),
                             keep_valid=jnp.ones((1,), bool))
 
-    out = G.gpn_test_forward(params, x_obj[0], subs.obj_ind, subs.att_mask, cfg)
+    return _encode_one(params, x_obj[0], subs, cfg, ecfg)
+
+
+def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
+                ecfg: EvalConfig) -> EncodedImage:
+    """sGPN + NMS + feature prep for one image's node features [N, L]."""
+    out = G.gpn_test_forward(params, x_obj_img, subs.obj_ind, subs.att_mask, cfg)
     use_nms = not ecfg.sct    # reference: use_nms = False if sct else True (AttModel.py:95)
 
     if use_nms:
@@ -110,3 +116,22 @@ def encode_image(params, state, graph: SceneGraph, subs: Optional[SubgraphSet],
     feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
     return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
                         keep_valid=keep_valid)
+
+
+def encode_images_batched(params, state, graph: SceneGraph,
+                          subs: SubgraphSet, cfg: ModelConfig,
+                          ecfg: EvalConfig) -> EncodedImage:
+    """Batched-image encoder: graph [B, ...], subs arrays [B, S, ...].
+
+    The encoder runs batched; sGPN scoring + NMS are vmapped per image; the
+    kept sub-graphs of all images flatten into one [B*Smax] decode axis so a
+    whole image batch decodes in a single dispatch (host<->device round trips
+    amortize over the batch — the reference pays a python loop + sync per
+    sub-graph, AttModel.py:216-231).
+    """
+    x_obj, _, _ = E.encode_graph(params, state, graph, cfg, train=False)
+    one = lambda xo, su: _encode_one(params, xo, su, cfg, ecfg)
+    enc = jax.vmap(one)(x_obj, subs)
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), enc)
+    return flat

@@ -26,6 +26,10 @@ _SEP = "///"
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_SEP}__empty__" if prefix else "__empty__"] = \
+                np.asarray(0)
+            return out
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
     elif isinstance(tree, (list, tuple)):
@@ -57,6 +61,8 @@ def _unflatten(flat: Dict[str, np.ndarray]):
             return node
         if "__none__" in node and len(node) == 1:
             return None
+        if "__empty__" in node and len(node) == 1:
+            return {}
         if "__len__" in node:
             n, is_tuple = (int(x) for x in node["__len__"])
             items = [_rebuild(node[str(i)]) for i in range(n)]

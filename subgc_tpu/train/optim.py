@@ -1,0 +1,78 @@
+"""Optimizer + schedules (reference train.py:100-132, misc/utils.py:223-239).
+
+The reference mutates the optimizer LR imperatively each iteration; here the
+schedule is a pure function of (iteration, epoch) fed to optax via
+inject_hyperparams, so the whole update is one jitted step.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+
+
+def learning_rate(it, epoch, tcfg: TrainConfig):
+    """LR as a function of iteration + epoch (train.py:107-124).
+
+    * linear warmup: lr = it * base / warmup_n for it <= warmup_n
+    * afterwards: base * rate^((epoch - start) // every) once epoch > start
+    """
+    base = tcfg.learning_rate
+    warm = it * base / tcfg.warmup_n
+    if tcfg.learning_rate_decay_start >= 0:
+        frac = jnp.maximum(epoch - tcfg.learning_rate_decay_start, 0) \
+            // tcfg.learning_rate_decay_every
+        decayed = base * tcfg.learning_rate_decay_rate ** frac
+        decayed = jnp.where(epoch > tcfg.learning_rate_decay_start, decayed, base)
+    else:
+        decayed = jnp.asarray(base)
+    return jnp.where(it <= tcfg.warmup_n, warm, decayed)
+
+
+def ss_prob(epoch, tcfg: TrainConfig) -> float:
+    """Scheduled-sampling probability (train.py:126-132); host-side python."""
+    if tcfg.scheduled_sampling_start < 0 or epoch <= tcfg.scheduled_sampling_start:
+        return 0.0
+    frac = (epoch - tcfg.scheduled_sampling_start) \
+        // tcfg.scheduled_sampling_increase_every
+    return min(tcfg.scheduled_sampling_increase_prob * frac,
+               tcfg.scheduled_sampling_max_prob)
+
+
+def build_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """Global-norm clip at 10 (misc/utils.py:174-200) + the reference's
+    optimizer family (misc/utils.py:223-239), LR injected per step."""
+    if tcfg.optim == "adam":
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=tcfg.learning_rate, b1=tcfg.optim_alpha,
+            b2=tcfg.optim_beta, eps=tcfg.optim_epsilon)
+    elif tcfg.optim == "adamw":
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=tcfg.learning_rate, weight_decay=0.01)
+    elif tcfg.optim == "sgd":
+        opt = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=tcfg.learning_rate, momentum=0.9)
+    elif tcfg.optim == "rmsprop":
+        opt = optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=tcfg.learning_rate, decay=tcfg.optim_alpha,
+            eps=tcfg.optim_epsilon)
+    elif tcfg.optim == "adagrad":
+        opt = optax.inject_hyperparams(optax.adagrad)(
+            learning_rate=tcfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optim {tcfg.optim!r}")
+    if tcfg.weight_decay and tcfg.optim == "adam":
+        opt = optax.chain(optax.add_decayed_weights(tcfg.weight_decay), opt)
+    return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm), opt)
+
+
+def set_step_lr(opt_state, lr):
+    """Functionally set the scheduled LR in the inject_hyperparams state
+    (jit-safe: returns a new state tuple)."""
+    clip_state, inner = opt_state
+    inner = inner._replace(hyperparams={**inner.hyperparams,
+                                        "learning_rate": lr})
+    return (clip_state, inner)
