@@ -36,6 +36,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from subgc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from subgc_tpu.config import EvalConfig, ModelConfig
     from subgc_tpu.eval.runner import make_batched_infer_fn
     from subgc_tpu.graph import SceneGraph, SubgraphSet

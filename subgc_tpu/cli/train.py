@@ -1,0 +1,190 @@
+"""Training CLI — `python -m subgc_tpu.cli.train <MODEL_TYPE> [flags]`.
+
+Replaces `train.sh` + `train.py`: MODEL_TYPE presets resolve to the same
+flag bundles (config.TRAIN_PRESETS); the loop mirrors `train.py:54-240`
+(warmup/decay LR, scheduled sampling, periodic val + checkpoint) with the
+whole step jitted and data-parallel over the available chips.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar")
+    p.add_argument("--checkpoint_path", type=str, default="logs/run")
+    p.add_argument("--start_from", type=str, default=None)
+    p.add_argument("--max_iters", type=int, default=-1,
+                   help="stop after N iterations (useful for smoke runs)")
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--save_checkpoint_every", type=int, default=None)
+    p.add_argument("--val_images_use", type=int, default=None)
+    p.add_argument("--losses_log_every", type=int, default=None)
+    p.add_argument("--input_json", type=str, default=None)
+    p.add_argument("--input_label_h5", type=str, default=None)
+    p.add_argument("--sg_dir", type=str, default=None)
+    p.add_argument("--mask_dir", type=str, default=None)
+    p.add_argument("--glove_path", type=str, default=None)
+    p.add_argument("--obj_name_path", type=str, default=None)
+    p.add_argument("--rel_name_path", type=str, default=None)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--seed", type=int, default=2019)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import build_configs, config_to_json
+    from ..data.dataset import TrainLoader
+    from ..io.glove import class_embeddings
+    from ..models.params import init_params
+    from ..parallel import mesh as M
+    from ..train import checkpoint as C
+    from ..train.optim import build_optimizer, ss_prob
+    from ..train.step import init_train_state, make_train_step, make_val_step
+
+    overrides = {"train": {}, "data": {}, "model": {}}
+    for k in ["max_epochs", "batch_size", "learning_rate",
+              "save_checkpoint_every", "val_images_use", "losses_log_every"]:
+        if getattr(args, k) is not None:
+            overrides["train"][k] = getattr(args, k)
+    for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir",
+              "glove_path", "obj_name_path", "rel_name_path"]:
+        if getattr(args, k) is not None:
+            overrides["data"][k] = getattr(args, k)
+
+    mcfg, tcfg, dcfg = build_configs(args.model_type, mode="train", **overrides)
+    loader = TrainLoader(mcfg, tcfg, dcfg, seed=args.seed)
+    mcfg = mcfg.replace(vocab_size=loader.vocab_size,
+                        seq_length=loader.seq_length)
+
+    obj_names = np.load(dcfg.obj_name_path, allow_pickle=True,
+                        encoding="latin1")
+    rel_names = np.load(dcfg.rel_name_path, allow_pickle=True,
+                        encoding="latin1")
+    obj_vecs, rel_vecs = None, None
+    if os.path.exists(dcfg.glove_path):
+        obj_vecs = class_embeddings(list(obj_names), dcfg.glove_path,
+                                    mcfg.embed_dim)
+        rel_vecs = class_embeddings(list(rel_names), dcfg.glove_path,
+                                    mcfg.embed_dim)
+
+    params, mstate = init_params(jax.random.PRNGKey(args.seed), mcfg,
+                                 obj_glove=obj_vecs, pred_glove=rel_vecs,
+                                 n_obj_names=len(obj_names),
+                                 n_pred_names=len(rel_names))
+    optimizer = build_optimizer(tcfg)
+    ts = init_train_state(params, mstate, optimizer)
+    iteration, epoch = 0, 0
+    histories = {"loss_history": {}, "lr_history": {}, "ss_prob_history": {},
+                 "val_loss_history": {}}
+
+    if args.start_from:
+        p2, s2, o2, infos, histories2 = C.load_checkpoint(
+            args.start_from, opt_state_template=ts.opt_state)
+        params = C.optimistic_restore(jax.device_get(ts.params), p2)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        ts = ts._replace(params=params,
+                         model_state=jax.tree_util.tree_map(jnp.asarray, s2))
+        if o2 is not None:
+            ts = ts._replace(opt_state=o2)
+        iteration = infos.get("iter", 0)
+        epoch = infos.get("epoch", 0)
+        ts = ts._replace(step=jnp.asarray(iteration, jnp.int32))
+        histories = histories2 or histories
+
+    n_dev = args.n_devices or len(jax.devices())
+    while n_dev > 1 and tcfg.batch_size % n_dev != 0:
+        n_dev -= 1          # data axis must divide the batch
+    mesh = M.make_mesh(n_data=n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        ts = ts._replace(params=M.replicate(mesh, ts.params),
+                         model_state=M.replicate(mesh, ts.model_state),
+                         opt_state=M.replicate(mesh, ts.opt_state))
+
+    step = make_train_step(mcfg, tcfg, optimizer)
+    val_step = make_val_step(mcfg)
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.checkpoint_path, exist_ok=True)
+
+    infos_base = {
+        "model_config": config_to_json(mcfg),
+        "train_config": config_to_json(tcfg),
+        "data_config": config_to_json(dcfg),
+        "model_type": args.model_type,
+        "vocab": loader.vocab,
+    }
+
+    def save(suffix=""):
+        infos = dict(infos_base, iter=iteration, epoch=epoch)
+        C.save_checkpoint(args.checkpoint_path, ts.params, ts.model_state,
+                          ts.opt_state, infos, histories, suffix=suffix)
+        print(f"checkpoint saved to {args.checkpoint_path}{suffix or ''} "
+              f"at iter {iteration}")
+
+    print(f"training {args.model_type}: vocab {mcfg.vocab_size}, "
+          f"{len(loader.split_ix['train'])} train images, "
+          f"batch {tcfg.batch_size}, devices {n_dev}")
+    t_start = time.time()
+    while True:
+        sp = ss_prob(epoch, tcfg)
+        batch, infos_b, wrapped = loader.get_batch("train")
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        if mesh is not None:
+            batch = M.shard_leading_axis(mesh, batch)
+        rng, r = jax.random.split(rng)
+        ts, metrics = step(ts, batch, r, jnp.asarray(epoch, jnp.int32),
+                           jnp.asarray(sp))
+        iteration += 1
+
+        if iteration % tcfg.losses_log_every == 0:
+            m = jax.device_get(metrics)
+            histories["loss_history"][str(iteration)] = float(m["loss"])
+            histories["lr_history"][str(iteration)] = float(m["lr"])
+            histories["ss_prob_history"][str(iteration)] = sp
+        if iteration % 5 == 0:
+            m = jax.device_get(metrics)
+            print(f"iter {iteration} (ep {epoch}): gpn {float(m['gpn_loss']):.3f} "
+                  f"lang {float(m['lang_loss']):.3f} loss {float(m['loss']):.3f} "
+                  f"lr {float(m['lr']):.2e} ({(time.time()-t_start)/iteration:.3f}s/it)")
+        if wrapped:
+            epoch += 1
+
+        if iteration % tcfg.save_checkpoint_every == 0 or \
+                (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \
+                (args.max_iters > 0 and iteration >= args.max_iters):
+            # quick val loss (eval_utils.py:73-86)
+            vloss, nval = 0.0, 0
+            loader.reset_iterator("val")
+            max_val = tcfg.val_images_use // tcfg.batch_size
+            for _ in range(max(1, min(2, max_val))):
+                vb, _, vw = loader.get_batch("val")
+                vloss += float(val_step(ts.params, ts.model_state,
+                                        jax.tree_util.tree_map(jnp.asarray, vb)))
+                nval += 1
+                if vw:
+                    break
+            histories["val_loss_history"][str(iteration)] = vloss / max(nval, 1)
+            print(f"val loss {vloss / max(nval, 1):.3f}")
+            save()
+            if (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \
+                    (args.max_iters > 0 and iteration >= args.max_iters):
+                break
+    print(f"done at iter {iteration}, epoch {epoch}")
+
+
+if __name__ == "__main__":
+    main()

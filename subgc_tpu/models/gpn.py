@@ -156,20 +156,29 @@ def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
     iou = pairwise_node_iou(mem)
     iou_sorted = iou[order][:, order]
     valid_sorted = valid[order]
+    # keep XLA from refusing the [S,S] double-gather into the loop body
+    iou_sorted = jax.lax.optimization_barrier(iou_sorted)
 
-    idx = jnp.arange(S)
+    # Greedy NMS, one confirmed keep per iteration.  The greedy-prefix
+    # property makes this exactly equivalent to running the reference's full
+    # suppression sweep (gpn.py:121-130) and then truncating to max_keep
+    # (gpn.py:133-135): the first k kept items of full NMS are the k items
+    # this loop confirms.  max_keep iterations instead of S.
+    def body(t, carry):
+        alive, keep = carry
+        any_alive = alive.any()
+        i = jnp.argmax(alive)                    # first alive = best score
+        keep = keep.at[i].set(keep[i] | any_alive)
+        suppress = iou_sorted[i] > iou_thres
+        alive = alive & ~suppress
+        alive = alive.at[i].set(False)
+        return alive, keep
 
-    def body(i, keep):
-        row_kills = (iou_sorted[i] > iou_thres) & (idx > i)
-        alive_i = keep[i]
-        return jnp.where(alive_i & row_kills, False, keep)
-
-    keep_sorted = jax.lax.fori_loop(0, S, body, valid_sorted)
-    # cap at max_keep highest-scoring survivors (gpn.py:133-135)
-    rank_among_kept = jnp.cumsum(keep_sorted) - 1
-    keep_sorted = keep_sorted & (rank_among_kept < max_keep)
+    _, keep_sorted = jax.lax.fori_loop(
+        0, max_keep, body, (valid_sorted, jnp.zeros((S,), bool)))
 
     # back to original indices, ascending original order
+    idx = jnp.arange(S)
     keep_orig = jnp.zeros((S,), bool).at[order].set(keep_sorted)
     sort_key = jnp.where(keep_orig, idx, idx + S)
     packed = jnp.argsort(sort_key)[:max_keep]

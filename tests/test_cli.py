@@ -1,0 +1,84 @@
+"""CLI end-to-end: train a few iters on synthetic data, then decode + eval."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from subgc_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthcli")
+    return generate_dataset(str(root), n_images=10, seed=7)
+
+
+def test_train_then_test_cli(synth, tmp_path, monkeypatch):
+    from subgc_tpu.cli import test as test_cli
+    from subgc_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "run")
+    train_cli.main([
+        "Sub_GC_Kar",
+        "--checkpoint_path", ckpt,
+        "--batch_size", "4",
+        "--max_iters", "3",
+        "--save_checkpoint_every", "3",
+        "--val_images_use", "4",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"],
+        "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ])
+    assert os.path.exists(os.path.join(ckpt, "model.npz"))
+    infos = json.load(open(os.path.join(ckpt, "infos.json")))
+    assert infos["iter"] == 3
+
+    # NOTE: the synthetic fixture's real dims (2048-d features) make the
+    # preset ModelConfig valid directly
+    test_cli.main([
+        "Sub_GC_Kar",
+        "--checkpoint_path", ckpt,
+        "--beam_size", "2",
+        "--gpn_max_subg", "4",
+        "--bucket", "16",
+        "--batch_images", "2",
+        "--language_eval", "1",
+        "--oracle_num", "2",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"],
+        "--mask_dir", synth["mask_dir"],
+    ])
+    caps_path = os.path.join(ckpt, "captions_3.npy")
+    assert os.path.exists(caps_path)
+    preds = np.load(caps_path, allow_pickle=True).tolist()
+    assert len(preds) >= 1
+    assert all(isinstance(c, str) for c in preds[0]["caption"])
+    scores_path = os.path.join(ckpt, "all_scores_3_2-subgraph.npy")
+    assert os.path.exists(scores_path)
+    scores = np.load(scores_path, allow_pickle=True).tolist()
+    assert "top1" in scores and "oracle" in scores
+    assert scores["oracle"]["CIDEr"] >= scores["top1"]["CIDEr"] - 1e-9
+
+    # resume training from the checkpoint
+    train_cli.main([
+        "Sub_GC_Kar",
+        "--checkpoint_path", ckpt,
+        "--start_from", ckpt,
+        "--batch_size", "4",
+        "--max_iters", "5",
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+        "--save_checkpoint_every", "2",
+        "--val_images_use", "4",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"],
+        "--mask_dir", synth["mask_dir"],
+    ])
+    infos = json.load(open(os.path.join(ckpt, "infos.json")))
+    assert infos["iter"] == 5
