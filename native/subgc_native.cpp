@@ -1,0 +1,401 @@
+// subgc_native: C++ host-side cores for the subgc_tpu framework.
+//
+// The reference delegates its text pipeline to vendored Java jars invoked per
+// subprocess (PTB tokenizer, METEOR, SPICE; SURVEY.md §2) and runs its
+// consensus-reranking pairwise-CIDEr loop in pure Python
+// (misc/consensus_reranking/..., hours at scale).  This library provides
+// native equivalents exposed through a plain C ABI (loaded via ctypes —
+// no pybind11 in this image):
+//
+//   * subgc_ptb_tokenize   — PTB-style tokenizer (same rules as
+//                            subgc_tpu/eval/tokenizer.py)
+//   * subgc_pairwise_cider — TF-IDF n-gram pairwise CIDEr similarities
+//                            (cider_scorer_compute_sentence.py semantics)
+//   * subgc_mutual_bleu4   — mutual BLEU-4 of a sentence set (the mBLEU-4
+//                            diversity metric hot loop)
+//
+// All string batches cross the boundary newline-separated; outputs are
+// caller-allocated double buffers or malloc'd strings freed via subgc_free.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// tokenizer
+// ---------------------------------------------------------------------------
+
+const char* kPunct[] = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-",
+                        "-RCB-", ".", "?", "!", ",", ":", "-", "--", "...",
+                        ";"};
+
+bool is_punct_token(const std::string& t) {
+  for (const char* p : kPunct)
+    if (t == p) return true;
+  return false;
+}
+
+bool is_digit(char c) { return c >= '0' && c <= '9'; }
+
+void append_tok(std::vector<std::string>* out, std::string t, bool lowercase) {
+  if (t.empty()) return;
+  static const char* special[] = {"-LRB-", "-RRB-", "-LCB-", "-RCB-"};
+  bool is_special = false;
+  for (const char* s : special)
+    if (t == s) is_special = true;
+  if (lowercase && !is_special)
+    for (auto& c : t)
+      if (c >= 'A' && c <= 'Z') c += 32;
+  out->push_back(std::move(t));
+}
+
+// contraction suffixes split from the preceding word
+bool contraction_split(const std::string& w, size_t* cut) {
+  auto ends = [&](const char* suf) {
+    size_t n = strlen(suf);
+    if (w.size() <= n) return false;
+    for (size_t i = 0; i < n; i++) {
+      char a = w[w.size() - n + i], b = suf[i];
+      if (a >= 'A' && a <= 'Z') a += 32;
+      if (a != b) return false;
+    }
+    // the char before the suffix must not be an apostrophe or space
+    char prev = w[w.size() - n - 1];
+    if (prev == '\'' || prev == ' ') return false;
+    *cut = w.size() - n;
+    return true;
+  };
+  return ends("n't") || ends("'ll") || ends("'re") || ends("'ve") ||
+         ends("'s") || ends("'m") || ends("'d");
+}
+
+std::vector<std::string> ptb_tokenize_sentence(const std::string& in,
+                                               bool lowercase) {
+  std::string s;
+  s.reserve(in.size() * 2);
+  size_t n = in.size();
+  // character pass: split punctuation / map brackets / ellipsis / quotes
+  for (size_t i = 0; i < n; i++) {
+    char c = in[i];
+    switch (c) {
+      case '\n': s += ' '; break;
+      case '(': case '[': s += " -LRB- "; break;
+      case ')': case ']': s += " -RRB- "; break;
+      case '{': s += " -LCB- "; break;
+      case '}': s += " -RCB- "; break;
+      case ';': case '@': case '#': case '$': case '%': case '&':
+      case '?': case '!':
+        s += ' '; s += c; s += ' ';
+        break;
+      case '.':
+        if (i + 2 < n && in[i + 1] == '.' && in[i + 2] == '.') {
+          s += " ... ";
+          i += 2;
+        } else {
+          // split only a sentence-final period (possibly followed by
+          // closers), like the sed rule
+          size_t j = i + 1;
+          while (j < n && (in[j] == '"' || in[j] == '\'' || in[j] == ')' ||
+                           in[j] == ']' || in[j] == '}'))
+            j++;
+          bool final_period = true;
+          for (size_t k = j; k < n; k++)
+            if (in[k] != ' ' && in[k] != '\n') { final_period = false; break; }
+          if (final_period && i > 0 && in[i - 1] != '.') {
+            s += " .";
+          } else {
+            s += '.';
+          }
+        }
+        break;
+      case ',':
+        if (i > 0 && is_digit(in[i - 1]) && i + 1 < n && is_digit(in[i + 1]))
+          s += ',';
+        else {
+          s += " , ";
+        }
+        break;
+      case ':': s += " : "; break;
+      case '-':
+        if (i + 1 < n && in[i + 1] == '-') {
+          s += " -- ";
+          i++;
+        } else
+          s += '-';
+        break;
+      case '"': {
+        // opening quote if at start or after space/bracket
+        bool opening = (s.empty());
+        if (!opening) {
+          char prev = s.back();
+          opening = (prev == ' ' || prev == '(' || prev == '[' ||
+                     prev == '{' || prev == '<');
+        }
+        s += opening ? " `` " : " '' ";
+        break;
+      }
+      default: s += c;
+    }
+  }
+  // word pass: contractions, cannot
+  std::vector<std::string> toks;
+  size_t i = 0;
+  while (i < s.size()) {
+    while (i < s.size() && s[i] == ' ') i++;
+    size_t j = i;
+    while (j < s.size() && s[j] != ' ') j++;
+    if (j > i) {
+      std::string w = s.substr(i, j - i);
+      std::string lw = w;
+      for (auto& c : lw)
+        if (c >= 'A' && c <= 'Z') c += 32;
+      size_t cut;
+      if (lw == "cannot") {
+        append_tok(&toks, w.substr(0, 3), lowercase);
+        append_tok(&toks, w.substr(3), lowercase);
+      } else if (contraction_split(w, &cut)) {
+        append_tok(&toks, w.substr(0, cut), lowercase);
+        append_tok(&toks, w.substr(cut), lowercase);
+      } else {
+        append_tok(&toks, std::move(w), lowercase);
+      }
+    }
+    i = j;
+  }
+  return toks;
+}
+
+// ---------------------------------------------------------------------------
+// n-gram machinery (BLEU / CIDEr)
+// ---------------------------------------------------------------------------
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < s.size()) {
+    while (i < s.size() && s[i] == ' ') i++;
+    size_t j = i;
+    while (j < s.size() && s[j] != ' ') j++;
+    if (j > i) out.push_back(s.substr(i, j - i));
+    i = j;
+  }
+  return out;
+}
+
+std::vector<std::string> split_lines(const char* text) {
+  std::vector<std::string> out;
+  const char* p = text;
+  const char* start = p;
+  for (;; p++) {
+    if (*p == '\n' || *p == '\0') {
+      out.emplace_back(start, p - start);
+      if (*p == '\0') break;
+      start = p + 1;
+    }
+  }
+  // trailing empty line from terminal '\n'
+  if (!out.empty() && out.back().empty() && text[0] != '\0' &&
+      p > text && *(p - 1) == '\0')
+    ;  // keep semantics: caller sends exactly N lines without trailing \n
+  return out;
+}
+
+using NgramCounts = std::unordered_map<std::string, int>;
+
+// n-grams encoded as words joined by '\x01' with a length-prefix char
+void ngram_counts(const std::vector<std::string>& words, int max_n,
+                  NgramCounts* counts) {
+  for (int k = 1; k <= max_n; k++) {
+    for (int i = 0; i + k <= (int)words.size(); i++) {
+      std::string key(1, (char)('0' + k));
+      for (int j = 0; j < k; j++) {
+        key += '\x01';
+        key += words[i + j];
+      }
+      (*counts)[key]++;
+    }
+  }
+}
+
+struct CiderVec {
+  // per n: {ngram -> tfidf}
+  std::vector<std::unordered_map<std::string, double>> vec;
+  double norm[4] = {0, 0, 0, 0};
+  int length = 0;  // bigram token count, per cider_scorer:131
+};
+
+struct CiderModel {
+  std::unordered_map<std::string, double> df;
+  double ref_len = 0.0;
+
+  void build(const std::vector<std::vector<std::string>>& docs) {
+    for (const auto& doc : docs) {
+      std::unordered_map<std::string, bool> seen;
+      for (const auto& sent : doc) {
+        NgramCounts c;
+        ngram_counts(split_ws(sent), 4, &c);
+        for (auto& kv : c) seen[kv.first] = true;
+      }
+      for (auto& kv : seen) df[kv.first] += 1.0;
+    }
+    ref_len = std::log((double)docs.size());
+  }
+
+  CiderVec vectorize(const std::string& sent) const {
+    CiderVec v;
+    v.vec.resize(4);
+    NgramCounts c;
+    ngram_counts(split_ws(sent), 4, &c);
+    for (auto& kv : c) {
+      int n = kv.first[0] - '0' - 1;
+      auto it = df.find(kv.first);
+      double d = std::log(std::max(1.0, it == df.end() ? 0.0 : it->second));
+      double w = (double)kv.second * (ref_len - d);
+      v.vec[n][kv.first] = w;
+      v.norm[n] += w * w;
+      if (n == 1) v.length += kv.second;
+    }
+    for (int n = 0; n < 4; n++) v.norm[n] = std::sqrt(v.norm[n]);
+    return v;
+  }
+
+  double sim(const CiderVec& h, const CiderVec& r, double sigma) const {
+    double delta = (double)(h.length - r.length);
+    double pen = std::exp(-(delta * delta) / (2.0 * sigma * sigma));
+    double total = 0.0;
+    for (int n = 0; n < 4; n++) {
+      double val = 0.0;
+      for (auto& kv : h.vec[n]) {
+        auto it = r.vec[n].find(kv.first);
+        if (it != r.vec[n].end())
+          val += std::min(kv.second, it->second) * it->second;
+      }
+      if (h.norm[n] != 0 && r.norm[n] != 0) val /= h.norm[n] * r.norm[n];
+      total += val * pen;
+    }
+    return total / 4.0 * 10.0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize newline-separated sentences -> newline-separated token strings
+// (punctuation-list tokens removed, matching the coco-caption wrapper).
+// Caller frees with subgc_free.
+char* subgc_ptb_tokenize(const char* text, int lowercase) {
+  auto lines = split_lines(text);
+  std::string out;
+  for (size_t i = 0; i < lines.size(); i++) {
+    auto toks = ptb_tokenize_sentence(lines[i], lowercase != 0);
+    bool first = true;
+    for (auto& t : toks) {
+      if (is_punct_token(t)) continue;
+      if (!first) out += ' ';
+      out += t;
+      first = false;
+    }
+    if (i + 1 < lines.size()) out += '\n';
+  }
+  char* buf = (char*)malloc(out.size() + 1);
+  memcpy(buf, out.c_str(), out.size() + 1);
+  return buf;
+}
+
+void subgc_free(char* p) { free(p); }
+
+// Pairwise CIDEr matrix.
+// df_docs: documents separated by '\n', sentences within a doc by '\t'.
+// hyps / refs: '\n'-separated tokenized sentences.
+// out: row-major [n_hyps, n_refs] similarities.  Returns 0 on success.
+int subgc_pairwise_cider(const char* df_docs, const char* hyps,
+                         const char* refs, double sigma, double* out) {
+  std::vector<std::vector<std::string>> docs;
+  for (auto& line : split_lines(df_docs)) {
+    std::vector<std::string> doc;
+    size_t i = 0;
+    while (i <= line.size()) {
+      size_t j = line.find('\t', i);
+      if (j == std::string::npos) j = line.size();
+      doc.push_back(line.substr(i, j - i));
+      i = j + 1;
+      if (j == line.size()) break;
+    }
+    docs.push_back(std::move(doc));
+  }
+  CiderModel model;
+  model.build(docs);
+
+  auto hyp_lines = split_lines(hyps);
+  auto ref_lines = split_lines(refs);
+  std::vector<CiderVec> hv, rv;
+  hv.reserve(hyp_lines.size());
+  rv.reserve(ref_lines.size());
+  for (auto& h : hyp_lines) hv.push_back(model.vectorize(h));
+  for (auto& r : ref_lines) rv.push_back(model.vectorize(r));
+
+  for (size_t i = 0; i < hv.size(); i++)
+    for (size_t j = 0; j < rv.size(); j++)
+      out[i * rv.size() + j] = model.sim(hv[i], rv[j], sigma);
+  return 0;
+}
+
+// Mutual BLEU-4: score sentence i against the other n-1 as references
+// (closest reflen, corpus formula over the single sentence — identical to
+// the reference's per-sentence Bleu(4) call in diversity_score.py:69-84).
+// sents: '\n'-separated tokenized sentences.  out: [n] BLEU-4 values.
+int subgc_mutual_bleu4(const char* sents, double* out) {
+  auto lines = split_lines(sents);
+  int n = (int)lines.size();
+  std::vector<std::vector<std::string>> words(n);
+  std::vector<NgramCounts> counts(n);
+  for (int i = 0; i < n; i++) {
+    words[i] = split_ws(lines[i]);
+    ngram_counts(words[i], 4, &counts[i]);
+  }
+  const double small = 1e-9, tiny = 1e-15;
+  for (int i = 0; i < n; i++) {
+    // clipped max counts over the other sentences
+    NgramCounts maxc;
+    int testlen = (int)words[i].size();
+    int reflen = 1 << 30;
+    for (int j = 0; j < n; j++) {
+      if (j == i) continue;
+      int rl = (int)words[j].size();
+      // closest reflen, ties -> smaller length (min over (|d|, l) pairs)
+      if (std::abs(rl - testlen) < std::abs(reflen - testlen) ||
+          (std::abs(rl - testlen) == std::abs(reflen - testlen) &&
+           rl < reflen))
+        reflen = rl;
+      for (auto& kv : counts[j]) {
+        auto& slot = maxc[kv.first];
+        slot = std::max(slot, kv.second);
+      }
+    }
+    double bleu = 1.0, result = 0.0;
+    for (int k = 1; k <= 4; k++) {
+      int guess = std::max(0, testlen - k + 1);
+      int correct = 0;
+      for (auto& kv : counts[i]) {
+        if (kv.first[0] - '0' != k) continue;
+        auto it = maxc.find(kv.first);
+        if (it != maxc.end()) correct += std::min(kv.second, it->second);
+      }
+      bleu *= ((double)correct + tiny) / ((double)guess + small);
+      result = std::pow(bleu, 1.0 / k);
+    }
+    double ratio = ((double)testlen + tiny) / ((double)reflen + small);
+    if (ratio < 1.0) result *= std::exp(1.0 - 1.0 / ratio);
+    out[i] = result;
+  }
+  return 0;
+}
+
+}  // extern "C"

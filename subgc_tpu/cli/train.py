@@ -20,6 +20,9 @@ def parse_args(argv=None):
     p.add_argument("model_type", nargs="?", default="Sub_GC_Kar")
     p.add_argument("--checkpoint_path", type=str, default="logs/run")
     p.add_argument("--start_from", type=str, default=None)
+    p.add_argument("--word_mapping", type=str, default=None,
+                   help="word_mapping.npy for cross-dataset finetune: maps "
+                        "new vocab index -> old (models/__init__.py:14-41)")
     p.add_argument("--max_iters", type=int, default=-1,
                    help="stop after N iterations (useful for smoke runs)")
     p.add_argument("--max_epochs", type=int, default=None)
@@ -95,7 +98,12 @@ def main(argv=None):
     if args.start_from:
         p2, s2, o2, infos, histories2 = C.load_checkpoint(
             args.start_from, opt_state_template=ts.opt_state)
-        params = C.optimistic_restore(jax.device_get(ts.params), p2)
+        wm = None
+        if args.word_mapping:
+            wm = np.load(args.word_mapping, allow_pickle=True,
+                         encoding="latin1")
+        params = C.optimistic_restore(jax.device_get(ts.params), p2,
+                                      word_mapping=wm)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         ts = ts._replace(params=params,
                          model_state=jax.tree_util.tree_map(jnp.asarray, s2))
@@ -138,16 +146,29 @@ def main(argv=None):
     print(f"training {args.model_type}: vocab {mcfg.vocab_size}, "
           f"{len(loader.split_ix['train'])} train images, "
           f"batch {tcfg.batch_size}, devices {n_dev}")
+    import threading
+
+    from ..data.prefetch import BatchPrefetcher
+    from ..utils.profiling import PhaseTimers
+    timers = PhaseTimers()
+    place = (lambda b: M.shard_leading_axis(mesh, b)) if mesh is not None \
+        else None
+    loader_lock = threading.Lock()   # val batches share the loader state
+
+    def _next_train():
+        with loader_lock:
+            return loader.get_batch("train")
+
+    prefetch = BatchPrefetcher(_next_train, depth=2, place=place)
     t_start = time.time()
     while True:
         sp = ss_prob(epoch, tcfg)
-        batch, infos_b, wrapped = loader.get_batch("train")
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        if mesh is not None:
-            batch = M.shard_leading_axis(mesh, batch)
+        with timers.phase("data"):
+            batch, (infos_b, wrapped) = prefetch.next()
         rng, r = jax.random.split(rng)
-        ts, metrics = step(ts, batch, r, jnp.asarray(epoch, jnp.int32),
-                           jnp.asarray(sp))
+        with timers.phase("step"):
+            ts, metrics = step(ts, batch, r, jnp.asarray(epoch, jnp.int32),
+                               jnp.asarray(sp))
         iteration += 1
 
         if iteration % tcfg.losses_log_every == 0:
@@ -171,7 +192,8 @@ def main(argv=None):
             loader.reset_iterator("val")
             max_val = tcfg.val_images_use // tcfg.batch_size
             for _ in range(max(1, min(2, max_val))):
-                vb, _, vw = loader.get_batch("val")
+                with loader_lock:
+                    vb, _, vw = loader.get_batch("val")
                 vloss += float(val_step(ts.params, ts.model_state,
                                         jax.tree_util.tree_map(jnp.asarray, vb)))
                 nval += 1
@@ -183,6 +205,8 @@ def main(argv=None):
             if (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \
                     (args.max_iters > 0 and iteration >= args.max_iters):
                 break
+    prefetch.stop()
+    print(timers.report())
     print(f"done at iter {iteration}, epoch {epoch}")
 
 

@@ -1,31 +1,31 @@
-"""Vectorized beam search, vmapped over the sub-graph axis.
+"""Vectorized (diverse) beam search, vmapped over the sub-graph axis.
 
 The reference decodes each sub-graph with a Python-object beam search inside a
 per-sub-graph loop (`models/AttModel.py:216-231`, `models/CaptionModel.py:
 28-176`).  Here one image's every kept sub-graph runs beam search
 simultaneously: the per-beam candidate expansion is a single top-k over
-``beam_sum + logprobs`` and the whole time loop is a ``lax.scan``, vmapped
-over sub-graphs — hundreds of beam decodes per TPU dispatch.
+``beam_sum + logprobs`` and the time loop is a ``lax.scan`` (group_size=1) or
+a trace-time-unrolled staggered loop (diverse groups), vmapped over
+sub-graphs — hundreds of beam decodes per TPU dispatch.
 
 Reference semantics preserved:
 * UNK suppression: -1000 on the last vocab column before expansion
   (CaptionModel.py:131)
+* optional decoding constraint: previous word set to -inf
+  (CaptionModel.py:128-129)
+* diverse groups: ``diversity_lambda`` subtracted at tokens earlier groups
+  chose at the same local time (CaptionModel.py:31-39); stored per-token
+  logprobs are the *unaugmented* (pre-diversity, post-UNK) values
 * t=0 expands only beam 0 (CaptionModel.py:60-61)
-* stored per-token logprobs are the UNK-suppressed ("unaugmented") values
-* a beam finishes when it emits token 0 or at t == seq_length-1; finished
+* a beam finishes when it emits token 0 or at its last local step; finished
   beams are recorded with the length penalty applied and their running sum
-  is knocked to -1000 (CaptionModel.py:152-166)
-* finished beams keep stepping (as in the reference), but can no longer win
-  candidate slots against live beams
-* final: done beams sorted by penalized score, stable in append order
+  knocked to -1000 (CaptionModel.py:152-166)
+* final: each group's done beams sorted by penalized score (stable in append
+  order), top-bdash per group, groups concatenated (CaptionModel.py:173-175)
 
 Known tie-break divergence (documented): on *exactly* equal candidate scores
 the reference prefers lower word index then lower beam; ``lax.top_k`` on the
 row-major flattened [beam, vocab] grid prefers lower beam then lower word.
-
-Diverse beam search (group_size > 1, CaptionModel.py:31-39) subtracts
-``diversity_lambda`` from tokens chosen by earlier groups at the same local
-time; groups are a static python loop at trace time.
 """
 from __future__ import annotations
 
@@ -42,74 +42,158 @@ from ..utils.penalty import penalty_fn
 class BeamOut(NamedTuple):
     seq: jnp.ndarray        # [S, T] best beam tokens
     logprobs: jnp.ndarray   # [S, T] best beam per-token logprobs
-    all_seqs: jnp.ndarray   # [S, bdash, T] top-bdash done beams
-    all_ps: jnp.ndarray     # [S, bdash] their penalized scores
+    all_seqs: jnp.ndarray   # [S, group_size*bdash, T] top done beams
+    all_ps: jnp.ndarray     # [S, group_size*bdash] their penalized scores
+
+
+def _topk_small(x, k: int):
+    """Exact top-k for tiny k via k argmax passes.
+
+    Identical selection and tie handling to ``lax.top_k`` (ties -> lowest
+    index) but O(k*V) VPU reductions instead of an O(V log V) sort — the
+    beam expansion's k is the beam width (2-5), the vector is beam*vocab
+    (~30-50k), and this runs every decode step for every sub-graph.
+    """
+    vals = []
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmax(x)
+        v = x[i]
+        vals.append(v)
+        idxs.append(i)
+        x = x.at[i].set(-jnp.inf)
+    return jnp.stack(vals), jnp.stack(idxs)
+
+
+class _GroupState(NamedTuple):
+    state: D.DecoderState       # [bdash, ...]
+    lp: jnp.ndarray             # [bdash, V1] next-step logprobs
+    beam_seq: jnp.ndarray       # [T, bdash]
+    beam_lps: jnp.ndarray       # [T, bdash]
+    beam_sum: jnp.ndarray       # [bdash]
+    done_seq: jnp.ndarray       # [cap, T]
+    done_lps: jnp.ndarray       # [cap, T]
+    done_p: jnp.ndarray         # [cap]
+
+
+def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
+                  ecfg: EvalConfig, pen, diversity_tokens=None):
+    """One beam_step for one group at its local time.
+
+    diversity_tokens: optional [n_prev*bdash] token ids chosen by earlier
+    groups at this local time; each occurrence subtracts diversity_lambda.
+    """
+    bdash = gs.beam_sum.shape[0]
+    V1 = gs.lp.shape[-1]
+    T = gs.beam_seq.shape[0]
+
+    logprobsf = gs.lp
+    if ecfg.decoding_constraint:
+        prev_tok = gs.beam_seq[jnp.maximum(local_t - 1, 0)]       # [bdash]
+        constrain = (local_t > 0)
+        onehot = jax.nn.one_hot(prev_tok, V1, dtype=bool)
+        logprobsf = jnp.where(constrain & onehot, -jnp.inf, logprobsf)
+    logprobsf = logprobsf.at[:, V1 - 1].add(-1000.0)
+    unaug = logprobsf
+    if diversity_tokens is not None:
+        # subtract lambda per occurrence (the reference loops per beam pair,
+        # accumulating for duplicate choices; CaptionModel.py:34-38)
+        counts = jax.nn.one_hot(diversity_tokens, V1).sum(0)      # [V1]
+        logprobsf = logprobsf - ecfg.diversity_lambda * counts[None, :]
+
+    cand = gs.beam_sum[:, None] + logprobsf
+    row_ok = (jnp.arange(bdash) < 1) | (local_t > 0)
+    cand = jnp.where(row_ok[:, None], cand, -jnp.inf)
+    vp, flat = _topk_small(cand.reshape(-1), bdash)
+    q = flat // V1
+    c = flat % V1
+
+    new_seq = gs.beam_seq[:, q].at[local_t].set(c)
+    new_lps = gs.beam_lps[:, q].at[local_t].set(unaug[q, c])
+    state = jax.tree_util.tree_map(lambda x: x[q], gs.state)
+    beam_sum = vp
+
+    is_done = (c == 0) | (local_t == T - 1)
+    p_done = pen(local_t + 1, beam_sum)
+    slot = local_t * bdash + jnp.arange(bdash)
+    done_seq = gs.done_seq.at[slot].set(
+        jnp.where(is_done[:, None], new_seq.T, gs.done_seq[slot]))
+    done_lps = gs.done_lps.at[slot].set(
+        jnp.where(is_done[:, None], new_lps.T, gs.done_lps[slot]))
+    done_p = gs.done_p.at[slot].set(jnp.where(is_done, p_done, -jnp.inf))
+    beam_sum = jnp.where(is_done, -1000.0, beam_sum)
+
+    lp, state, _ = D.decode_step(params, state, c, feats, cfg)
+    return _GroupState(state=state, lp=lp, beam_seq=new_seq, beam_lps=new_lps,
+                       beam_sum=beam_sum, done_seq=done_seq,
+                       done_lps=done_lps, done_p=done_p)
+
+
+def _init_group(params, feats_one, bdash, cfg):
+    T = cfg.seq_length
+    V1 = cfg.vocab_size + 1
+    cap = bdash * T
+    feats = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (bdash,) + x.shape), feats_one)
+    state0 = D.init_state(bdash, cfg)
+    lp0, state0, _ = D.decode_step(params, state0,
+                                   jnp.zeros((bdash,), jnp.int32), feats, cfg)
+    return feats, _GroupState(
+        state=state0, lp=lp0,
+        beam_seq=jnp.zeros((T, bdash), jnp.int32),
+        beam_lps=jnp.zeros((T, bdash), jnp.float32),
+        beam_sum=jnp.zeros((bdash,), jnp.float32),
+        done_seq=jnp.zeros((cap, T), jnp.int32),
+        done_lps=jnp.zeros((cap, T), jnp.float32),
+        done_p=jnp.full((cap,), -jnp.inf, jnp.float32))
 
 
 def _beam_search_one(params, feats_one: D.PreparedFeatures, cfg: ModelConfig,
                      ecfg: EvalConfig) -> BeamOut:
-    """Beam search for one sub-graph (unbatched PreparedFeatures)."""
-    bdash = ecfg.beam_size // ecfg.group_size
-    if ecfg.group_size != 1:
-        raise NotImplementedError(
-            "group_size > 1 (diverse beam search) lands with the diversity "
-            "module; all shipped reference configs use group_size=1")
+    """(Diverse) beam search for one sub-graph (unbatched features)."""
+    G = ecfg.group_size
+    bdash = ecfg.beam_size // G
     T = cfg.seq_length
-    V1 = cfg.vocab_size + 1
     pen = penalty_fn(ecfg.length_penalty)
-    cap = bdash * T
 
-    feats = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (bdash,) + x.shape), feats_one)
+    if G == 1:
+        feats, gs0 = _init_group(params, feats_one, bdash, cfg)
 
-    state0 = D.init_state(bdash, cfg)
-    lp0, state0, _ = D.decode_step(params, state0, jnp.zeros((bdash,), jnp.int32),
-                                   feats, cfg)
+        def step(gs, t):
+            return _expand_group(params, feats, gs, t, cfg, ecfg, pen), None
 
-    def step(carry, t):
-        state, lp, beam_seq, beam_lps, beam_sum, done_seq, done_lps, done_p = carry
+        gs, _ = jax.lax.scan(step, gs0, jnp.arange(T))
+        top_p, top_i = jax.lax.top_k(gs.done_p, bdash)
+        return BeamOut(seq=gs.done_seq[top_i[0]], logprobs=gs.done_lps[top_i[0]],
+                       all_seqs=gs.done_seq[top_i], all_ps=top_p)
 
-        logprobsf = lp.at[:, V1 - 1].add(-1000.0)
-        cand = beam_sum[:, None] + logprobsf                    # [bdash, V1]
-        row_ok = (jnp.arange(bdash) < 1) | (t > 0)
-        cand = jnp.where(row_ok[:, None], cand, -jnp.inf)
-        vp, flat = jax.lax.top_k(cand.reshape(-1), bdash)
-        q = flat // V1
-        c = flat % V1
+    # diverse beam search: staggered groups, trace-time-unrolled outer loop
+    # (CaptionModel.py:122-171); T + G - 1 outer steps
+    groups = []
+    for _ in range(G):
+        feats, gs = _init_group(params, feats_one, bdash, cfg)
+        groups.append(gs)
+    for t in range(T + G - 1):
+        for g in range(G):
+            if not (g <= t <= T + g - 1):
+                continue
+            local_t = t - g
+            if g > 0:
+                div_toks = jnp.concatenate(
+                    [groups[pg].beam_seq[local_t] for pg in range(g)])
+            else:
+                div_toks = None
+            groups[g] = _expand_group(params, feats, groups[g], local_t, cfg,
+                                      ecfg, pen, diversity_tokens=div_toks)
 
-        new_seq = beam_seq[:, q].at[t].set(c)                   # [T, bdash]
-        new_lps = beam_lps[:, q].at[t].set(logprobsf[q, c])
-        state = jax.tree_util.tree_map(lambda x: x[q], state)
-        beam_sum = vp
-
-        is_done = (c == 0) | (t == T - 1)
-        p_done = pen(t + 1, beam_sum)
-        slot = t * bdash + jnp.arange(bdash)
-        done_seq = done_seq.at[slot].set(jnp.where(is_done[:, None], new_seq.T,
-                                                   done_seq[slot]))
-        done_lps = done_lps.at[slot].set(jnp.where(is_done[:, None], new_lps.T,
-                                                   done_lps[slot]))
-        done_p = done_p.at[slot].set(jnp.where(is_done, p_done, -jnp.inf))
-        beam_sum = jnp.where(is_done, -1000.0, beam_sum)
-
-        lp, state, _ = D.decode_step(params, state, c, feats, cfg)
-        return (state, lp, new_seq, new_lps, beam_sum, done_seq, done_lps,
-                done_p), None
-
-    init = (state0, lp0,
-            jnp.zeros((T, bdash), jnp.int32),
-            jnp.zeros((T, bdash), jnp.float32),
-            jnp.zeros((bdash,), jnp.float32),
-            jnp.zeros((cap, T), jnp.int32),
-            jnp.zeros((cap, T), jnp.float32),
-            jnp.full((cap,), -jnp.inf, jnp.float32))
-    carry, _ = jax.lax.scan(step, init, jnp.arange(T))
-    done_seq, done_lps, done_p = carry[5], carry[6], carry[7]
-
-    # stable sort by penalized score desc (append order = slot order)
-    top_p, top_i = jax.lax.top_k(done_p, bdash)
-    return BeamOut(seq=done_seq[top_i[0]], logprobs=done_lps[top_i[0]],
-                   all_seqs=done_seq[top_i], all_ps=top_p)
+    tops = [jax.lax.top_k(gs.done_p, bdash) for gs in groups]
+    all_seqs = jnp.concatenate([gs.done_seq[ti]
+                                for gs, (_, ti) in zip(groups, tops)])
+    all_lps = jnp.concatenate([gs.done_lps[ti]
+                               for gs, (_, ti) in zip(groups, tops)])
+    all_ps = jnp.concatenate([tp for tp, _ in tops])
+    return BeamOut(seq=all_seqs[0], logprobs=all_lps[0],
+                   all_seqs=all_seqs, all_ps=all_ps)
 
 
 def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,

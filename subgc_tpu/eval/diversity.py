@@ -79,18 +79,15 @@ def mbleu4(predictions: List[dict], top_ns=(20, 100),
 
     Loop nesting matches the reference (images outer, top_ns inner, one
     shared RNG stream)."""
+    from ..ops.native import mutual_bleu4 as native_mb4
+
     rng = np.random.RandomState(seed)
     per_img = [[] for _ in top_ns]
     for item in predictions:
         for t, top_k in enumerate(top_ns):
             sents, _ = _select_best5(item, top_k, rng)
-            scores = []
-            for i, sen in enumerate(sents):
-                gts = {0: [{"caption": g} for j, g in enumerate(sents)
-                           if j != i]}
-                res = {0: [{"caption": sen}]}
-                corpus, _, _ = compute_bleu(tokenize(gts), tokenize(res))
-                scores.append(corpus[3])
+            tokenized = tokenize({0: [{"caption": s} for s in sents]})[0]
+            scores = native_mb4(tokenized)   # C++ core; python fallback inside
             per_img[t].append(float(np.mean(scores)))
     return [float(np.mean(x)) for x in per_img]
 

@@ -84,29 +84,22 @@ def consensus_rerank(hypo_list: List[dict], ref_annos: List[dict],
                document-frequency table (the eval annotation set, matching
                COCOEvalCapPairCider.setup)
     """
+    from ..ops.native import pairwise_cider_matrix
+
     df_tok = tokenize({kk: [{"caption": c} for c in v]
                        for kk, v in df_refs.items()})
-    pc = PairwiseCider(list(df_tok.values()))
-
-    ref_vec_cache: Dict[str, tuple] = {}
-
-    def ref_vec(sentence: str):
-        if sentence not in ref_vec_cache:
-            ref_vec_cache[sentence] = pc.vec(sentence)
-        return ref_vec_cache[sentence]
+    df_docs = list(df_tok.values())
 
     rerank_ind: Dict[object, List[int]] = {}
     for ind_te, anno in enumerate(hypo_list):
         retrieved: List[str] = []
         for ind_nn in range(min(k, nn_list.shape[1])):
             retrieved += ref_annos[int(nn_list[ind_te][ind_nn])]["sentences"]
-        rvecs = [ref_vec(s) for s in retrieved]
-        sims = []
-        for sen_gen in anno["caption"]:
-            hvec = pc.vec(" ".join(sen_gen))
-            scores = sorted((pc.sim(hvec, rv) for rv in rvecs), reverse=True)
-            sims.append(sum(scores[:m]))
-        arg = np.argsort(-np.asarray(sims)).tolist()
+        hyps = [" ".join(sen) for sen in anno["caption"]]
+        sim_mtx = pairwise_cider_matrix(df_docs, hyps, retrieved)
+        top = np.sort(sim_mtx, axis=1)[:, ::-1][:, :m]
+        sims = top.sum(axis=1)
+        arg = np.argsort(-sims).tolist()
         anno["reranked"] = [anno["caption"][x] for x in arg]
         rerank_ind[anno["id"]] = arg
     return rerank_ind

@@ -43,6 +43,20 @@ def load_glove_txt(path: str, dim: int = 300,
     return table
 
 
+def load_glove_pt(path: str, vocab: Optional[set] = None
+                  ) -> Dict[str, np.ndarray]:
+    """Read the reference's cached torch pickle (glove.6B.300d.pt:
+    a (word->index dict, tensor, size) tuple; misc/utils.py:418-422)."""
+    import torch
+
+    wv_dict, wv_arr, _ = torch.load(path, map_location="cpu",
+                                    weights_only=False)
+    arr = wv_arr.numpy()
+    if vocab is not None:
+        return {w: arr[i] for w, i in wv_dict.items() if w in vocab}
+    return {w: arr[i] for w, i in wv_dict.items()}
+
+
 def class_embeddings(names: List[str], glove_path: str, dim: int = 300,
                      seed: int = 0) -> np.ndarray:
     """[len(names), dim] embedding table (obj_edge_vectors semantics)."""
@@ -54,7 +68,10 @@ def class_embeddings(names: List[str], glove_path: str, dim: int = 300,
         fixed_names.append(name)
         for tok in name.split(" "):
             wanted.add(tok)
-    table = load_glove_txt(glove_path, dim, vocab=wanted)
+    if glove_path.endswith(".pt"):
+        table = load_glove_pt(glove_path, vocab=wanted)
+    else:
+        table = load_glove_txt(glove_path, dim, vocab=wanted)
 
     rng = np.random.RandomState(seed)
     out = rng.normal(0, 1, (len(names), dim)).astype(np.float32)

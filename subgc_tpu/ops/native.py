@@ -1,0 +1,111 @@
+"""ctypes bindings for the native C++ host cores (native/subgc_native.cpp).
+
+Builds the shared library on demand (g++ is baked into the image) and falls
+back to the pure-Python implementations if compilation is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsubgc_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = os.path.join(_NATIVE_DIR, "subgc_native.cpp")
+    try:
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.subgc_ptb_tokenize.restype = ctypes.c_void_p
+        lib.subgc_ptb_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.subgc_free.argtypes = [ctypes.c_void_p]
+        lib.subgc_pairwise_cider.restype = ctypes.c_int
+        lib.subgc_pairwise_cider.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+        lib.subgc_mutual_bleu4.restype = ctypes.c_int
+        lib.subgc_mutual_bleu4.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+    except Exception as e:
+        print(f"subgc_native unavailable ({e}); using python fallbacks")
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ptb_tokenize_batch(sentences: Sequence[str],
+                       lowercase: bool = True) -> List[str]:
+    """Tokenize a batch of raw sentences -> cleaned token strings."""
+    lib = _load()
+    if lib is None:
+        from ..eval.tokenizer import tokenize
+        out = tokenize({0: [{"caption": s} for s in sentences]})
+        return out[0]
+    blob = "\n".join(s.replace("\n", " ") for s in sentences)
+    ptr = lib.subgc_ptb_tokenize(blob.encode("utf-8"), 1 if lowercase else 0)
+    try:
+        result = ctypes.string_at(ptr).decode("utf-8")
+    finally:
+        lib.subgc_free(ptr)
+    return result.split("\n")
+
+
+def pairwise_cider_matrix(df_docs: Sequence[Sequence[str]],
+                          hyps: Sequence[str], refs: Sequence[str],
+                          sigma: float = 6.0) -> np.ndarray:
+    """[len(hyps), len(refs)] pairwise CIDEr sims under a df corpus."""
+    lib = _load()
+    if lib is None:
+        from ..eval.cider import PairwiseCider
+        pc = PairwiseCider(df_docs, sigma=sigma)
+        hv = [pc.vec(h) for h in hyps]
+        rv = [pc.vec(r) for r in refs]
+        return np.asarray([[pc.sim(h, r) for r in rv] for h in hv])
+    df_blob = "\n".join("\t".join(doc) for doc in df_docs)
+    out = np.zeros((len(hyps), len(refs)), np.float64)
+    rc = lib.subgc_pairwise_cider(
+        df_blob.encode("utf-8"), "\n".join(hyps).encode("utf-8"),
+        "\n".join(refs).encode("utf-8"), sigma,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    assert rc == 0
+    return out
+
+
+def mutual_bleu4(sentences: Sequence[str]) -> np.ndarray:
+    """BLEU-4 of each sentence vs the others (mBLEU-4 inner loop)."""
+    lib = _load()
+    if lib is None:
+        from ..eval.bleu import compute_bleu
+        out = []
+        for i, s in enumerate(sentences):
+            gts = {0: [g for j, g in enumerate(sentences) if j != i]}
+            res = {0: [s]}
+            corpus, _, _ = compute_bleu(gts, res)
+            out.append(corpus[3])
+        return np.asarray(out)
+    out = np.zeros((len(sentences),), np.float64)
+    rc = lib.subgc_mutual_bleu4("\n".join(sentences).encode("utf-8"),
+                                out.ctypes.data_as(
+                                    ctypes.POINTER(ctypes.c_double)))
+    assert rc == 0
+    return out
