@@ -55,6 +55,8 @@ class ModelConfig:
 
     # numerics: params live in float32; matmuls may run in bfloat16 on TPU
     compute_dtype: str = "float32"
+    # fused Pallas attention kernel in the decoder (ops/pallas_attention.py)
+    use_pallas_attention: bool = False
 
     @property
     def cdtype(self):

@@ -254,6 +254,10 @@ class EvalLoader(Loader):
         order = list(range(5, 5 + M)) + list(range(5 + M, 5 + 2 * M))
 
         S = len(order)
+        if S > self.bucket:
+            raise ValueError(
+                f"image {img_id} has {S} sub-graphs > bucket {self.bucket}; "
+                f"pass a larger --bucket (static shape)")
         obj_ind = np.full((self.bucket, m.obj_num), m.obj_num - 1, np.int32)
         att_mask = np.zeros((self.bucket, m.obj_num), np.float32)
         att_mask[:, 0] = 1.0       # padded slots keep the dummy node "live"

@@ -97,6 +97,11 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
     """Additive attention with post-softmax masking (AttModel.py:445-471)."""
     dec = params["decoder"]
     dt = cfg.cdtype
+    if cfg.use_pallas_attention:
+        from ..ops.pallas_attention import fused_attention
+        return fused_attention(h, feats.p_att, feats.att, feats.mask,
+                               dec["h2att"]["w"], dec["h2att"]["b"],
+                               dec["alpha_net"]["w"], dec["alpha_net"]["b"])
     att_h = _dense(h, dec["h2att"], dt)                       # [S, H]
     dot = jnp.tanh(feats.p_att + att_h[:, None, :])           # [S, N, H]
     e = _dense(dot, dec["alpha_net"], dt)[..., 0]             # [S, N]
