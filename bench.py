@@ -95,9 +95,12 @@ def main():
                    for _ in range(min(n_batches, 4))]
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    out = infer(params, state, *dev_batches[0], key)
-    jax.block_until_ready(out)
+    # warmup: compile AND first real executions + fetch (the axon tunnel
+    # defers substantial one-time work past block_until_ready; a fetched
+    # round trip is the only reliable warm state)
+    for _ in range(2):
+        out = infer(params, state, *dev_batches[0], key)
+        np.asarray(out["keep_valid"])
 
     t0 = time.time()
     total_caps = 0

@@ -160,6 +160,8 @@ def main(argv=None):
             return loader.get_batch("train")
 
     prefetch = BatchPrefetcher(_next_train, depth=2, place=place)
+    from ..utils.logging import MetricsLogger
+    metrics_log = MetricsLogger(args.checkpoint_path)
     t_start = time.time()
     while True:
         sp = ss_prob(epoch, tcfg)
@@ -176,6 +178,13 @@ def main(argv=None):
             histories["loss_history"][str(iteration)] = float(m["loss"])
             histories["lr_history"][str(iteration)] = float(m["lr"])
             histories["ss_prob_history"][str(iteration)] = sp
+            metrics_log.log(iteration, {
+                "train_loss": float(m["loss"]),
+                "gpn_loss": float(m["gpn_loss"]),
+                "lang_loss": float(m["lang_loss"]),
+                "learning_rate": float(m["lr"]),
+                "scheduled_sampling_prob": sp,
+                "grad_norm": float(m["grad_norm"])})
         if iteration % 5 == 0:
             m = jax.device_get(metrics)
             print(f"iter {iteration} (ep {epoch}): gpn {float(m['gpn_loss']):.3f} "
@@ -200,6 +209,7 @@ def main(argv=None):
                 if vw:
                     break
             histories["val_loss_history"][str(iteration)] = vloss / max(nval, 1)
+            metrics_log.log(iteration, {"val_loss": vloss / max(nval, 1)})
             print(f"val loss {vloss / max(nval, 1):.3f}")
             save()
             if (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \

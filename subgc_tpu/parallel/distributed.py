@@ -1,0 +1,53 @@
+"""Multi-host (DCN) initialization.
+
+The reference has no multi-node support at all (SURVEY.md §2.3: single
+process `DataParallel`).  Here multi-host runs use the standard JAX recipe:
+`jax.distributed.initialize` connects hosts over DCN, `jax.devices()` then
+spans all slices, and the same pjit train step scales — gradient psums ride
+ICI within a slice and DCN across slices, inserted by XLA.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def maybe_initialize_distributed(coordinator: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> bool:
+    """Initialize multi-host JAX when configured; no-op on single host.
+
+    Reads SUBGC_COORDINATOR / SUBGC_NUM_PROCESSES / SUBGC_PROCESS_ID when
+    args are None (on Cloud TPU pods, bare `jax.distributed.initialize()`
+    auto-discovers and these can stay unset).
+    """
+    import jax
+
+    coordinator = coordinator or os.environ.get("SUBGC_COORDINATOR")
+    num_processes = num_processes or _int_env("SUBGC_NUM_PROCESSES")
+    process_id = process_id if process_id is not None \
+        else _int_env("SUBGC_PROCESS_ID")
+
+    if coordinator is None and num_processes is None:
+        if os.environ.get("SUBGC_AUTO_DISTRIBUTED") == "1":
+            jax.distributed.initialize()
+            return True
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def _int_env(name):
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-sharded batch."""
+    import jax
+
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

@@ -69,6 +69,42 @@ def build_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm), opt)
 
 
+def noam_schedule(model_size: int, factor: float = 1.0, warmup: int = 2000):
+    """Noam LR schedule (misc/utils.py:269-297) as an optax schedule."""
+    def schedule(step):
+        s = jnp.maximum(step, 1).astype(jnp.float32)
+        return factor * model_size ** -0.5 * jnp.minimum(
+            s ** -0.5, s * warmup ** -1.5)
+    return schedule
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller (misc/utils.py:299-341): multiply the
+    scheduled LR by `factor` when the monitored value stops improving."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 10,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, value: float) -> float:
+        """Feed the monitored metric; returns the current LR scale."""
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.scale
+
+
 def set_step_lr(opt_state, lr):
     """Functionally set the scheduled LR in the inject_hyperparams state
     (jit-safe: returns a new state tuple)."""
