@@ -44,13 +44,24 @@ def main():
     from subgc_tpu.graph import SceneGraph, SubgraphSet
     from subgc_tpu.models.params import init_params
 
-    n_images = int(os.environ.get("BENCH_IMAGES", "256"))
-    bucket = int(os.environ.get("BENCH_BUCKET", "128"))
-    beam = int(os.environ.get("BENCH_BEAM", "3"))
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    preset = os.environ.get("BENCH_PRESET", "kar")
+    if preset == "mrnn":
+        # Sub_GC_MRNN: beam 1, NMS .55, up to 1000 decodes/image (test.sh:13)
+        defaults = dict(images="64", bucket="1024", beam="1", batch="4",
+                        nms=0.55, keep=1000)
+    else:
+        # Sub_GC_Kar at beam 3 (BASELINE.json metric)
+        defaults = dict(images="256", bucket="128", beam="3", batch="16",
+                        nms=0.75, keep=10)
+    n_images = int(os.environ.get("BENCH_IMAGES", defaults["images"]))
+    bucket = int(os.environ.get("BENCH_BUCKET", defaults["bucket"]))
+    beam = int(os.environ.get("BENCH_BEAM", defaults["beam"]))
+    batch = int(os.environ.get("BENCH_BATCH", defaults["batch"]))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
 
-    cfg = ModelConfig(vocab_size=9487)
-    ecfg = EvalConfig(beam_size=beam, gpn_nms_thres=0.75, gpn_max_subg=10,
+    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype)
+    ecfg = EvalConfig(beam_size=beam, gpn_nms_thres=defaults["nms"],
+                      gpn_max_subg=defaults["keep"],
                       max_subgraph_bucket=bucket)
     params, state = init_params(jax.random.PRNGKey(0), cfg,
                                 n_obj_names=cfg.num_obj_classes,
@@ -120,8 +131,8 @@ def main():
     vs = cps / (baseline * GPU_EST_FACTOR) if baseline else None
 
     print(json.dumps({
-        "metric": f"captions/sec/chip (Sub_GC_Kar dims, beam={beam}, "
-                  f"bucket={bucket}, NMS keep 10)",
+        "metric": f"captions/sec/chip ({preset} preset: beam={beam}, "
+                  f"bucket={bucket}, NMS keep {defaults['keep']}, {dtype})",
         "value": round(cps, 2),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,

@@ -44,7 +44,14 @@ def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
         if ecfg.use_topk_sampling:
             step_rng, r = jax.random.split(step_rng)
             lp2 = jax.nn.log_softmax(lp / ecfg.topk_temp, axis=-1)
-            kth = jax.lax.top_k(lp2, ecfg.the_k)[0][:, -1:]
+            # k-th largest per row via k-1 argmax+mask passes (cheaper than a
+            # vocab-wide sort; duplicates handled by index masking)
+            work = lp2
+            for _ in range(ecfg.the_k - 1):
+                idx = jnp.argmax(work, axis=-1, keepdims=True)
+                work = jnp.put_along_axis(work, idx, -jnp.inf, axis=-1,
+                                          inplace=False)
+            kth = work.max(-1, keepdims=True)
             masked = jnp.where(lp2 >= kth, lp2, -jnp.inf)
             nxt = jax.random.categorical(r, masked, axis=-1)
             chosen_lp = jnp.take_along_axis(lp2, nxt[:, None], axis=-1)[:, 0]
