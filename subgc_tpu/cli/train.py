@@ -163,7 +163,8 @@ def main(argv=None):
     from ..utils.logging import MetricsLogger
     metrics_log = MetricsLogger(args.checkpoint_path)
     t_start = time.time()
-    while True:
+    try:
+      while True:
         sp = ss_prob(epoch, tcfg)
         with timers.phase("data"):
             batch, (infos_b, wrapped) = prefetch.next()
@@ -215,6 +216,21 @@ def main(argv=None):
             if (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \
                     (args.max_iters > 0 and iteration >= args.max_iters):
                 break
+    except KeyboardInterrupt:
+        # emergency checkpoint on interruption (the reference just prints a
+        # traceback and exits, train.py:233-235; here state is preserved)
+        print(f"interrupted at iter {iteration}; saving emergency checkpoint")
+        save(suffix="_crash")
+        prefetch.stop()
+        raise SystemExit(1)
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        print(f"training failed at iter {iteration}; saving emergency "
+              f"checkpoint")
+        save(suffix="_crash")
+        prefetch.stop()
+        raise
     prefetch.stop()
     print(timers.report())
     print(f"done at iter {iteration}, epoch {epoch}")

@@ -107,20 +107,17 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
         batches.append((chunk[:n_real], graph, subs, n_real))
 
     t0 = time.time()
-    # enqueue all dispatches first (async), then fetch — transfers overlap
+    # sliding window of in-flight dispatches: compute/transfer overlap
+    # without pinning every batch's inputs in HBM for large splits
+    max_inflight = 8
     pending = []
-    for chunk, graph, subs, n_real in batches:
-        rng, r = jax.random.split(rng)
-        out = infer(params,
-                    state,
-                    jax.tree_util.tree_map(jnp.asarray, graph),
-                    jax.tree_util.tree_map(jnp.asarray, subs), r)
-        pending.append((chunk, out, n_real))
-
     predictions: List[dict] = []
     n_caps = 0
-    for chunk, out, n_real in pending:
-        out = jax.device_get(out)
+
+    def drain_one():
+        nonlocal n_caps
+        chunk, out_dev, n_real = pending.pop(0)
+        out = jax.device_get(out_dev)
         for bi, ex in enumerate(chunk):
             keep_valid = out["keep_valid"][bi]
             n = int(keep_valid.sum())
@@ -151,6 +148,17 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
             if verbose and len(predictions) <= 3:
                 print(f"image {ex.info.id}: kept {n} sub-graphs; best: "
                       f"{sents[0] if sents else '<none>'!r}")
+
+    for chunk, graph, subs, n_real in batches:
+        rng, r = jax.random.split(rng)
+        out = infer(params, state,
+                    jax.tree_util.tree_map(jnp.asarray, graph),
+                    jax.tree_util.tree_map(jnp.asarray, subs), r)
+        pending.append((chunk, out, n_real))
+        if len(pending) >= max_inflight:
+            drain_one()
+    while pending:
+        drain_one()
     wall = time.time() - t0
     return predictions, wall, n_caps
 

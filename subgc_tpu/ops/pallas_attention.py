@@ -50,7 +50,7 @@ def _attention_kernel(h_ref, patt_ref, att_ref, mask_ref, wh_ref, bh_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
-def fused_attention(h, p_att, att, mask, wh, bh, v, bv, block_r: int = 128,
+def fused_attention(h, p_att, att, mask, wh, bh, v, bv, block_r: int = 32,
                     interpret: bool = False):
     """h [R,Hin], p_att [R,N,H], att [R,N,D], mask [R,N], wh [Hin,H], bh [H],
     v [H,1], bv [1] -> (att_res [R,D], weights [R,N])."""
