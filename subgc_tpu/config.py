@@ -136,6 +136,7 @@ class DataConfig:
     input_label_h5: str = "data/cocotalk_label.h5"
     sg_dir: str = ""                    # *_sg_output_64 directory
     mask_dir: str = ""                  # *_graph_mask_1000_rm_duplicate dir
+    packed_path: str = ""               # optional packed shard (tools/pack_dataset.py)
     obj_name_path: str = "data/object_names_1600-0-20.npy"
     rel_name_path: str = "data/predicate_names_1600-0-20.npy"
     glove_path: str = "data/glove.6B.300d.txt"

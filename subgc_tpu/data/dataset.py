@@ -96,8 +96,14 @@ class Loader:
         self.dcfg = dcfg
         self.seq_per_img = seq_per_img
         self.ds = CaptionDataset(dcfg.input_json, dcfg.input_label_h5)
-        self.sg = SGDir(dcfg.sg_dir)
-        self.masks = SGDir(dcfg.mask_dir)
+        if dcfg.packed_path:
+            # mmap'ed fixed-record shard with native C++ reads
+            from .packed_adapter import PackedMaskSource, PackedSGSource
+            self.sg = PackedSGSource(dcfg.packed_path)
+            self.masks = PackedMaskSource(dcfg.packed_path)
+        else:
+            self.sg = SGDir(dcfg.sg_dir)
+            self.masks = SGDir(dcfg.mask_dir)
         self.split_ix = self.ds.split_indices(
             dcfg.use_MRNN_split, dcfg.mrnn_split_dict, dcfg.train_only)
         self.iterators = {k: 0 for k in self.split_ix}

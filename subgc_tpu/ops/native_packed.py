@@ -1,0 +1,111 @@
+"""ctypes bindings for the native packed-shard reader
+(native/packed_reader.cpp)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Dict, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsubgc_packed.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = os.path.join(_NATIVE_DIR, "packed_reader.cpp")
+    try:
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+                            "-o", _SO_PATH, src], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.subgc_packed_open.restype = ctypes.c_void_p
+        lib.subgc_packed_open.argtypes = [ctypes.c_char_p]
+        lib.subgc_packed_close.argtypes = [ctypes.c_void_p]
+        lib.subgc_packed_count.restype = ctypes.c_uint32
+        lib.subgc_packed_count.argtypes = [ctypes.c_void_p]
+        lib.subgc_packed_header.argtypes = [ctypes.c_void_p,
+                                            ctypes.POINTER(ctypes.c_uint8)]
+        lib.subgc_packed_record.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.subgc_packed_record.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.subgc_packed_ids.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_int64)]
+        lib.subgc_packed_gather.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint8)]
+        _lib = lib
+    except Exception as e:
+        print(f"native packed reader unavailable ({e})")
+        _lib = None
+    return _lib
+
+
+class NativePackedReader:
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native packed reader unavailable")
+        self.lib = lib
+        self.handle = lib.subgc_packed_open(path.encode())
+        if not self.handle:
+            raise RuntimeError(f"cannot open shard {path}")
+        hdr = (ctypes.c_uint8 * 48)()
+        lib.subgc_packed_header(self.handle, hdr)
+        (magic, self.n_images, obj_num, rel_num, feat_dim, n_obj_cls,
+         n_rel_cls, max_subg, _res, self.record_size) = struct.unpack(
+            "<QIIIIIIIIQ", bytes(hdr))
+        from ..data.packed import PackedSpec
+        self.spec = PackedSpec(obj_num, rel_num, feat_dim, n_obj_cls,
+                               n_rel_cls, max_subg)
+        self._offsets = {}
+        off = 0
+        for name, dt, shape in self.spec.record_fields():
+            size = np.dtype(dt).itemsize * int(np.prod(shape) or 1)
+            self._offsets[name] = (off, dt, shape, size)
+            off += size
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.subgc_packed_close(self.handle)
+        except Exception:
+            pass
+
+    def image_ids(self) -> np.ndarray:
+        out = np.zeros(self.n_images, np.int64)
+        self.lib.subgc_packed_ids(
+            self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
+    def record(self, i: int) -> Dict[str, np.ndarray]:
+        ptr = self.lib.subgc_packed_record(self.handle, i)
+        if not ptr:
+            raise IndexError(i)
+        buf = np.ctypeslib.as_array(ptr, shape=(self.record_size,))
+        out = {}
+        for name, (off, dt, shape, size) in self._offsets.items():
+            out[name] = np.frombuffer(buf[off:off + size].tobytes(),
+                                      dtype=dt).reshape(shape)
+        out["img_id"] = int(out["img_id"][()])
+        return out
+
+    def gather(self, indices: Sequence[int]) -> np.ndarray:
+        """Batched contiguous copy of records -> [n, record_size] uint8."""
+        idx = np.asarray(indices, np.uint32)
+        out = np.zeros((len(idx), self.record_size), np.uint8)
+        self.lib.subgc_packed_gather(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(idx), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
