@@ -89,6 +89,11 @@ def init_params(key, cfg: ModelConfig,
     if n_pred_names is None:
         n_pred_names = cfg.num_rel_classes
 
+    if cfg.use_bn:
+        raise NotImplementedError(
+            "att_embed batchnorm (use_bn 1/2) is not implemented; every "
+            "shipped reference config trains with use_bn=0 (opts.py:46-47)")
+
     keys = iter(jax.random.split(key, 64))
     L, E, R, H = cfg.gcn_dim, cfg.embed_dim, cfg.rnn_size, cfg.att_hid_size
     V1 = cfg.vocab_size + 1
