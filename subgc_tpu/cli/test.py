@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    help="GT annotation json for language eval "
                         "({image_id: [captions]}); defaults to the "
                         "dataset's own label h5")
+    p.add_argument("--sct_dict", type=str,
+                   default="data/sct_dict_test_grouped_gt_box.npy",
+                   help="grouped GT region sets for SCT presets")
+    p.add_argument("--img_wh", type=str, default="data/flickr30k_img_wh.npy",
+                   help="{img_id: (w,h)} table for SCT/grounding presets")
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--seed", type=int, default=2019)
     return p.parse_args(argv)
@@ -97,7 +102,18 @@ def main(argv=None):
             dcfg = dcfg.replace(**{k: getattr(args, k)})
 
     bucket = args.bucket or ecfg.max_subgraph_bucket
-    loader = EvalLoader(mcfg, dcfg, bucket=bucket, seed=args.seed)
+    if ecfg.sct:
+        from ..data.sct import SCTLoader
+        sct_dict = np.load(args.sct_dict, allow_pickle=True,
+                           encoding="latin1").tolist()
+        img_wh = np.load(args.img_wh, allow_pickle=True,
+                         encoding="latin1").tolist()
+        loader = SCTLoader(mcfg, dcfg, sct_dict, img_wh,
+                           use_greedy_subg=ecfg.use_greedy_subg,
+                           use_gt_subg=ecfg.use_gt_subg, bucket=bucket,
+                           seed=args.seed)
+    else:
+        loader = EvalLoader(mcfg, dcfg, bucket=bucket, seed=args.seed)
     mcfg = mcfg.replace(vocab_size=loader.vocab_size,
                         seq_length=loader.seq_length)
     iter_tag = args.iter_tag or str(infos.get("iter", "0"))
