@@ -18,10 +18,11 @@ def ref(tmp_path_factory):
     return load_reference_models(tmp)
 
 
-@pytest.mark.parametrize("group_size,decoding_constraint", [(2, 0), (1, 1),
-                                                            (2, 1)])
+@pytest.mark.parametrize("group_size,decoding_constraint,length_penalty",
+                         [(2, 0, ""), (1, 1, ""), (2, 1, ""),
+                          (1, 0, "wu_0.5"), (1, 0, "avg_1")])
 def test_diverse_beam_parity(ref, tiny_cfg, rng_np, group_size,
-                             decoding_constraint):
+                             decoding_constraint, length_penalty):
     import torch
     ref_att, obj_path, pred_path = ref
     cfg = tiny_cfg
@@ -39,7 +40,8 @@ def test_diverse_beam_parity(ref, tiny_cfg, rng_np, group_size,
          if isinstance(v, np.ndarray)}
     eval_kwargs = {"beam_size": beam_size, "sample_max": 1,
                    "group_size": group_size, "diversity_lambda": 0.5,
-                   "decoding_constraint": decoding_constraint}
+                   "decoding_constraint": decoding_constraint,
+                   "length_penalty": length_penalty}
     with torch.no_grad():
         seq_t, _, score_t, keep_t = model(
             torch.zeros(1, cfg.att_feat_size), t["att_feats"],
@@ -51,6 +53,7 @@ def test_diverse_beam_parity(ref, tiny_cfg, rng_np, group_size,
     ecfg = EvalConfig(beam_size=beam_size, group_size=group_size,
                       diversity_lambda=0.5,
                       decoding_constraint=decoding_constraint,
+                      length_penalty=length_penalty,
                       gpn_nms_thres=0.75, gpn_max_subg=3)
     enc = subgc.encode_image(params, state, graph, b["subs"], cfg, ecfg)
     out = beam.beam_search(params, enc.feats, cfg, ecfg)
