@@ -125,7 +125,9 @@ def main():
     cps = total_caps / wall
 
     baseline = None
-    if os.path.exists(_BASELINE_FILE):
+    if preset == "kar" and os.path.exists(_BASELINE_FILE):
+        # the pinned torch baseline measures this same workload (beam 3,
+        # bucket 128, keep 10); other presets have no comparable pin
         with open(_BASELINE_FILE) as f:
             baseline = json.load(f).get("captions_per_sec_cpu")
     vs = cps / (baseline * GPU_EST_FACTOR) if baseline else None
