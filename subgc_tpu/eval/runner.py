@@ -83,12 +83,25 @@ def _stack_examples(examples):
 def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
                    ecfg: EvalConfig, vocab, split: str = "test",
                    num_images: int = -1, rng=None, verbose: bool = True,
-                   collect_grounding=None, batch_images: int = 16):
+                   collect_grounding=None, batch_images: int = 16,
+                   mesh=None):
     """Decode the split.  Returns (predictions, wall_seconds, n_captions).
 
     collect_grounding: optional callback(example, sents, sorted_ind,
     att_weights, order) for the grounding path (grd_utils.py:13-61).
+
+    mesh: optional jax.sharding.Mesh — the image axis (and with it the
+    sub-graph fan-out) shards over the ``data`` axis; params replicate
+    (SURVEY.md §2.3: this workload's sequence-parallel analog).
     """
+    if mesh is not None:
+        from ..parallel import mesh as M
+        params = M.replicate(mesh, params)
+        state = M.replicate(mesh, state)
+        _place = lambda t: M.shard_leading_axis(
+            mesh, jax.tree_util.tree_map(jnp.asarray, t))
+    else:
+        _place = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     infer = make_batched_infer_fn(cfg, ecfg)
     rng = rng if rng is not None else jax.random.PRNGKey(2019)
 
@@ -151,9 +164,7 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
 
     for chunk, graph, subs, n_real in batches:
         rng, r = jax.random.split(rng)
-        out = infer(params, state,
-                    jax.tree_util.tree_map(jnp.asarray, graph),
-                    jax.tree_util.tree_map(jnp.asarray, subs), r)
+        out = infer(params, state, _place(graph), _place(subs), r)
         pending.append((chunk, out, n_real))
         if len(pending) >= max_inflight:
             drain_one()
