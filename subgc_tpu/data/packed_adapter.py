@@ -14,13 +14,30 @@ from .packed import PackedShard
 
 
 class PackedSource:
+    """One shard path, or a glob / comma-list of shards for large datasets
+    packed in parallel (each shard is independently mmap'ed; the lookup
+    index spans all of them)."""
+
     def __init__(self, path: str, use_native: bool = True):
-        self.shard = PackedShard(path, use_native=use_native)
-        ids = self.shard.image_ids()
-        self.index = {int(v): i for i, v in enumerate(ids)}
+        import glob as _glob
+        if "," in path:
+            paths = path.split(",")
+        elif any(c in path for c in "*?["):
+            paths = sorted(_glob.glob(path))
+        else:
+            paths = [path]
+        if not paths:
+            raise FileNotFoundError(f"no shards match {path!r}")
+        self.shards = [PackedShard(p, use_native=use_native) for p in paths]
+        self.shard = self.shards[0]
+        self.index = {}
+        for si, sh in enumerate(self.shards):
+            for i, v in enumerate(sh.image_ids()):
+                self.index[int(v)] = (si, i)
 
     def _rec(self, img_id):
-        return self.shard.record(self.index[int(img_id)])
+        si, i = self.index[int(img_id)]
+        return self.shards[si].record(i)
 
 
 class PackedSGSource(PackedSource):

@@ -76,3 +76,25 @@ def test_native_matches_numpy(shard):
         for key in ["obj_fmap", "obj_dist", "rel_ind", "pred_dist", "boxes",
                     "node_iou", "sub_obj_ind", "sub_att_mask", "sub_pred_ind"]:
             np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_multi_shard_source(shard, tmp_path):
+    """PackedSource spans multiple shards via comma-list."""
+    path, man, images = shard
+    from subgc_tpu.data.packed import PackedSpec, pack_image, write_shard
+    from subgc_tpu.data.packed_adapter import PackedSGSource
+    from subgc_tpu.io.sg_npz import SGDir
+    # second shard with one extra synthetic image id
+    spec = PackedSpec(feat_dim=man["feat_dim"],
+                      n_obj_cls=man["n_obj_classes"],
+                      n_rel_cls=man["n_rel_classes"], max_subg=16)
+    sg = SGDir(man["sg_dir"])
+    rec = pack_image(spec, 999999, sg.get(images[0]["id"]), None)
+    path2 = str(tmp_path / "shard2.bin")
+    write_shard(path2, spec, [rec])
+
+    src = PackedSGSource(f"{path},{path2}")
+    got = src.get(999999)
+    want = src.get(images[0]["id"])
+    np.testing.assert_allclose(got["object_fmap"], want["object_fmap"])
+    assert len(src.index) == len(images) + 1
