@@ -25,6 +25,9 @@ def parse_args(argv=None):
                         "new vocab index -> old (models/__init__.py:14-41)")
     p.add_argument("--max_iters", type=int, default=-1,
                    help="stop after N iterations (useful for smoke runs)")
+    p.add_argument("--save_history_ckpt", type=int, default=0,
+                   help="1: additionally keep an iteration-suffixed copy at "
+                        "every checkpoint (reference opts.py:131)")
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
@@ -213,6 +216,8 @@ def main(argv=None):
             metrics_log.log(iteration, {"val_loss": vloss / max(nval, 1)})
             print(f"val loss {vloss / max(nval, 1):.3f}")
             save()
+            if args.save_history_ckpt:
+                save(suffix=f"-{iteration}")
             if (tcfg.max_epochs >= 0 and epoch >= tcfg.max_epochs) or \
                     (args.max_iters > 0 and iteration >= args.max_iters):
                 break
