@@ -30,7 +30,11 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
                      max_obj: int = 36, max_rel: int = 64, n_subgraphs: int = 8,
                      seq_length: int = 16, feat_dim: int = 2048,
                      seed: int = 0, splits=("train", "val", "test"),
-                     split_weights=(0.6, 0.2, 0.2)) -> dict:
+                     split_weights=(0.6, 0.2, 0.2),
+                     min_obj: int = 6) -> dict:
+    """min_obj=max_obj reproduces real COCO data's invariant of exactly 36
+    detections per image (the reference test loader assumes it,
+    dataloader_test.py:286)."""
     """Write a synthetic dataset under `root`; returns a path manifest."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
@@ -62,7 +66,7 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
         end_ix.append(len(all_labels))
 
         # scene graph npz
-        n = rng.randint(6, max_obj + 1)
+        n = rng.randint(min_obj, max_obj + 1)
         k = rng.randint(8, max_rel + 1)
         obj_dist = rng.dirichlet(np.ones(n_obj_classes), n).astype("f")
         pred_dist = rng.dirichlet(np.ones(n_rel_classes), k).astype("f")
