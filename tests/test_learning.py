@@ -1,0 +1,77 @@
+"""Learning works end-to-end: training improves eval CIDEr on held-out data.
+
+Opt-in (SUBGC_SLOW=1): a few hundred optimizer steps on the single test CPU.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from subgc_tpu.config import DataConfig, EvalConfig, ModelConfig, TrainConfig
+from subgc_tpu.data.dataset import EvalLoader, TrainLoader
+from subgc_tpu.data.synthetic import generate_dataset
+from subgc_tpu.eval.cider import compute_cider
+from subgc_tpu.eval.runner import run_test_split
+from subgc_tpu.eval.tokenizer import tokenize
+from subgc_tpu.models.params import init_params
+from subgc_tpu.train.optim import build_optimizer
+from subgc_tpu.train.step import init_train_state, make_train_step
+from subgc_tpu.utils.text import decode_sequence
+
+
+@pytest.mark.skipif(os.environ.get("SUBGC_SLOW") != "1",
+                    reason="set SUBGC_SLOW=1 (several minutes on CPU)")
+def test_training_improves_cider(tmp_path):
+    man = generate_dataset(str(tmp_path / "d"), n_images=20, seed=71,
+                           vocab_size=30)
+    mcfg = ModelConfig(vocab_size=man["vocab_size"], rnn_size=64,
+                       input_encoding_size=48, att_hid_size=32, gcn_dim=32,
+                       fc_feat_size=48, att_feat_size=man["feat_dim"],
+                       embed_dim=16, num_obj_classes=man["n_obj_classes"],
+                       num_rel_classes=man["n_rel_classes"])
+    dcfg = DataConfig(input_json=man["input_json"],
+                      input_label_h5=man["input_label_h5"],
+                      sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+    tcfg = TrainConfig(batch_size=4, warmup_n=20)
+    loader = TrainLoader(mcfg, tcfg, dcfg)
+    params, mstate = init_params(jax.random.PRNGKey(0), mcfg,
+                                 n_obj_names=mcfg.num_obj_classes,
+                                 n_pred_names=mcfg.num_rel_classes)
+    optimizer = build_optimizer(tcfg)
+    ts = init_train_state(params, mstate, optimizer)
+    step = make_train_step(mcfg, tcfg, optimizer)
+
+    def eval_cider(p, s):
+        ev_loader = EvalLoader(mcfg, dcfg, bucket=16)
+        ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75, gpn_max_subg=3)
+        preds, _, _ = run_test_split(p, s, ev_loader, mcfg, ecfg,
+                                     ev_loader.vocab, verbose=False,
+                                     batch_images=4)
+        gts, res = {}, {}
+        for pr in preds:
+            pos = [i for i, img in enumerate(ev_loader.ds.images)
+                   if img["id"] == pr["image_id"]][0]
+            refs = decode_sequence(ev_loader.vocab,
+                                   ev_loader.ds.captions_for(pos),
+                                   remove_bad_endings=False)
+            gts[pr["image_id"]] = tokenize(
+                {0: [{"caption": c} for c in refs]})[0]
+            res[pr["image_id"]] = tokenize(
+                {0: [{"caption": pr["caption"][0] or "a"}]})[0]
+        mean, _ = compute_cider(gts, res)
+        return mean
+
+    before = eval_cider(ts.params, ts.model_state)
+    rng = jax.random.PRNGKey(1)
+    for i in range(300):
+        batch, _, _ = loader.get_batch("train")
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        rng, r = jax.random.split(rng)
+        ts, metrics = step(ts, batch, r, jnp.zeros((), jnp.int32),
+                           jnp.zeros(()))
+    after = eval_cider(ts.params, ts.model_state)
+    print(f"CIDEr before {before:.3f} -> after {after:.3f} "
+          f"(final loss {float(metrics['loss']):.3f})")
+    assert after > before
