@@ -51,7 +51,7 @@ def main():
                         nms=0.55, keep=1000)
     else:
         # Sub_GC_Kar at beam 3 (BASELINE.json metric)
-        defaults = dict(images="512", bucket="128", beam="3", batch="32",
+        defaults = dict(images="512", bucket="128", beam="3", batch="64",
                         nms=0.75, keep=10)
     n_images = int(os.environ.get("BENCH_IMAGES", defaults["images"]))
     bucket = int(os.environ.get("BENCH_BUCKET", defaults["bucket"]))

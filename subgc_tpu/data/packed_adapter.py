@@ -68,8 +68,6 @@ class PackedMaskSource(PackedSource):
             nodes = r["sub_obj_ind"][i][r["sub_att_mask"][i] > 0]
             obj_mask[nodes[nodes < obj_num - 1]] = 1
             pred_mask = np.zeros(rel_num - 1, np.int64)
-            rels = r["sub_pred_ind"][i]
-            rels = rels[rels < rel_num - 1]
             # padded slots hold rel_num-1; valid ones were left-packed
             valid_rels = []
             for v in r["sub_pred_ind"][i]:
