@@ -7,4 +7,14 @@ sub-graph axis that batches/shards across a device mesh.
 """
 __version__ = "0.1.0"
 
-from .config import DataConfig, EvalConfig, ModelConfig, TrainConfig  # noqa: F401
+from .config import (DataConfig, EvalConfig, ModelConfig,  # noqa: F401
+                     TrainConfig, build_configs)
+from .graph import SceneGraph, SubgraphSet  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight entry points (keep `import subgc_tpu` jax-free)
+    if name == "setup":
+        from .models import setup
+        return setup
+    raise AttributeError(name)
