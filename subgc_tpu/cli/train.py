@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--save_history_ckpt", type=int, default=0,
                    help="1: additionally keep an iteration-suffixed copy at "
                         "every checkpoint (reference opts.py:131)")
+    p.add_argument("--self_critical_after", type=int, default=-1,
+                   help="epoch to switch to SCST policy-gradient training "
+                        "(-1 disables; reference opts.py:66 ships the flag "
+                        "unused — train/scst.py implements the loop)")
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
@@ -128,6 +132,11 @@ def main(argv=None):
 
     step = make_train_step(mcfg, tcfg, optimizer)
     val_step = make_val_step(mcfg)
+    scst_fns = None
+    if args.self_critical_after >= 0:
+        from ..train.scst import make_sample_fn, make_scst_update_fn
+        scst_fns = (make_sample_fn(mcfg),
+                    make_scst_update_fn(mcfg, tcfg, optimizer))
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.checkpoint_path, exist_ok=True)
 
@@ -172,9 +181,29 @@ def main(argv=None):
         with timers.phase("data"):
             batch, (infos_b, wrapped) = prefetch.next()
         rng, r = jax.random.split(rng)
-        with timers.phase("step"):
-            ts, metrics = step(ts, batch, r, jnp.asarray(epoch, jnp.int32),
-                               jnp.asarray(sp))
+        use_scst = scst_fns is not None and epoch >= args.self_critical_after
+        if use_scst:
+            from ..train.scst import scst_train_step
+            gts_tokens = []
+            for info in infos_b:
+                caps = loader.ds.captions_for(info.ix)
+                gts_tokens.extend([caps] * tcfg.seq_per_img)
+            with timers.phase("scst_step"):
+                ts, scst_loss, mean_reward = scst_train_step(
+                    ts, batch, gts_tokens, loader.vocab, scst_fns[0],
+                    scst_fns[1], r, jnp.asarray(epoch, jnp.int32))
+            metrics = {"loss": jnp.asarray(scst_loss),
+                       "lang_loss": jnp.asarray(scst_loss),
+                       "gpn_loss": jnp.zeros(()),
+                       "lr": jnp.zeros(()), "grad_norm": jnp.zeros(())}
+            if iteration % 5 == 0:
+                print(f"scst iter {iteration}: loss {scst_loss:.4f} "
+                      f"mean reward {mean_reward:.4f}")
+        else:
+            with timers.phase("step"):
+                ts, metrics = step(ts, batch, r,
+                                   jnp.asarray(epoch, jnp.int32),
+                                   jnp.asarray(sp))
         iteration += 1
 
         if iteration % tcfg.losses_log_every == 0:

@@ -82,3 +82,25 @@ def test_train_then_test_cli(synth, tmp_path, monkeypatch):
     ])
     infos = json.load(open(os.path.join(ckpt, "infos.json")))
     assert infos["iter"] == 5
+
+
+def test_scst_cli(synth, tmp_path):
+    """--self_critical_after 0 routes iterations through the SCST path."""
+    from subgc_tpu.cli import train as train_cli
+    ckpt = str(tmp_path / "scst_run")
+    train_cli.main([
+        "Sub_GC_Kar",
+        "--checkpoint_path", ckpt,
+        "--batch_size", "2",
+        "--max_iters", "2",
+        "--save_checkpoint_every", "2",
+        "--val_images_use", "2",
+        "--self_critical_after", "0",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"],
+        "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ])
+    assert os.path.exists(os.path.join(ckpt, "model.npz"))

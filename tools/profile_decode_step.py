@@ -1,0 +1,109 @@
+"""Bisect the decode-step cost at large batch on the real chip.
+
+Times the per-step components at the batch-64 bench shape (640 kept
+sub-graphs x beam 3 = 1920 rows): LSTM cells, attention, logit+log_softmax,
+beam top-k selection — each as its own jitted 17-step scan so the numbers
+compare against the full decode loop.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from subgc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from subgc_tpu.config import EvalConfig, ModelConfig
+    from subgc_tpu.decode.beam import _topk_small
+    from subgc_tpu.models import decoder as D
+    from subgc_tpu.models.params import init_params
+
+    R = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
+    S = R // 3                     # sub-graphs (beam 3)
+    T = 17
+    cfg = ModelConfig(vocab_size=9487)
+    V1 = cfg.vocab_size + 1
+    params, _ = init_params(jax.random.PRNGKey(0), cfg,
+                            n_obj_names=1599, n_pred_names=21)
+    rng = np.random.RandomState(0)
+    feats = D.PreparedFeatures(
+        fc=jnp.asarray(rng.randn(R, cfg.rnn_size), jnp.float32),
+        att=jnp.asarray(rng.randn(R, cfg.obj_num, cfg.rnn_size), jnp.float32),
+        p_att=jnp.asarray(rng.randn(R, cfg.obj_num, cfg.att_hid_size),
+                          jnp.float32),
+        mask=jnp.ones((R, cfg.obj_num), jnp.float32))
+
+    def scan17(step_fn, init):
+        def wrapped(carry, _):
+            return step_fn(carry), None
+        out, _ = jax.lax.scan(wrapped, init, None, length=T)
+        return out
+
+    dec = params["decoder"]
+
+    def full_step(carry):
+        state, tok = carry
+        lp, state, _ = D.decode_step(params, state, tok, feats, cfg)
+        tok = jnp.argmax(lp, -1).astype(jnp.int32)
+        return state, tok
+
+    def lstm_only(carry):
+        state, tok = carry
+        xt = jax.nn.relu(dec["embed"][tok])
+        x_att = jnp.concatenate([state.h_lang, feats.fc, xt], -1)
+        h_att, c_att = D._lstm_cell(dec["att_lstm"], x_att, state.h_att,
+                                    state.c_att, jnp.float32)
+        x_lang = jnp.concatenate([h_att, h_att], -1)
+        h_lang, c_lang = D._lstm_cell(dec["lang_lstm"], x_lang, state.h_lang,
+                                      state.c_lang, jnp.float32)
+        return D.DecoderState(h_att, c_att, h_lang, c_lang), tok
+
+    def attention_only(carry):
+        state, tok = carry
+        att_res, _ = D.attention(params, state.h_att, feats, cfg)
+        return D.DecoderState(att_res, state.c_att, state.h_lang,
+                              state.c_lang), tok
+
+    def logit_only(carry):
+        state, tok = carry
+        lp = jax.nn.log_softmax(state.h_lang @ dec["logit"]["w"]
+                                + dec["logit"]["b"], -1)
+        tok = jnp.argmax(lp, -1).astype(jnp.int32)
+        return state, tok
+
+    def topk_only(carry):
+        state, tok = carry
+        # emulate the beam candidate selection: per sub-graph, 3 argmax
+        # passes over beam*vocab
+        cand = (state.h_lang[:, :1] + jnp.zeros((R, V1))).reshape(S, 3 * V1)
+        v, i = jax.vmap(lambda x: _topk_small(x, 3))(cand)
+        tok = (i[:, 0] % V1).astype(jnp.int32)
+        tok = jnp.repeat(tok, 3)[:R]
+        return state, tok
+
+    init = (D.init_state(R, cfg), jnp.zeros((R,), jnp.int32))
+    for name, fn in [("full step x17", full_step),
+                     ("lstm cells x17", lstm_only),
+                     ("attention x17", attention_only),
+                     ("logit+softmax x17", logit_only),
+                     ("beam topk x17", topk_only)]:
+        jit_fn = jax.jit(lambda i, f=fn: scan17(f, i))
+        out = jit_fn(init)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = jit_fn(init)
+        jax.block_until_ready(out)
+        print(f"{name:>20}: {(time.time() - t0) / 10 * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
