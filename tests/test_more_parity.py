@@ -43,6 +43,10 @@ def test_adam_update_matches_torch():
 def ref_pair_cider():
     if not os.path.isdir(CR_PATH):
         pytest.skip("reference external coco-caption unavailable")
+    # don't let the other vendored pycocoevalcap tree shadow this one
+    for mod in list(sys.modules):
+        if mod.startswith("pycocoevalcap"):
+            del sys.modules[mod]
     sys.path.insert(0, CR_PATH)
     from pycocoevalcap.cider.cider_scorer_compute_sentence import CiderScorer
     return CiderScorer

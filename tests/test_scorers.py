@@ -38,6 +38,11 @@ def corpus():
 def vendored():
     if not os.path.isdir(VENDOR):
         pytest.skip("vendored coco-caption not available")
+    # two vendored pycocoevalcap trees exist (this one + the consensus-
+    # reranking external copy); make sure THIS one resolves
+    for mod in list(sys.modules):
+        if mod.startswith("pycocoevalcap"):
+            del sys.modules[mod]
     sys.path.insert(0, VENDOR)
     from pycocoevalcap.bleu.bleu import Bleu
     from pycocoevalcap.cider.cider import Cider
