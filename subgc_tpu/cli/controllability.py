@@ -7,7 +7,6 @@ BLEU/METEOR/ROUGE/CIDEr/SPICE + noun IoU.
 from __future__ import annotations
 
 import argparse
-import json
 import pickle
 
 import numpy as np

@@ -8,7 +8,6 @@ whole step jitted and data-parallel over the available chips.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 

@@ -14,7 +14,7 @@ semantics exactly (dataloader.py:224-304), including:
 from __future__ import annotations
 
 import random
-from typing import Iterator, List, NamedTuple, Optional
+from typing import Iterator, NamedTuple
 
 import numpy as np
 

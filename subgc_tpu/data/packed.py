@@ -33,7 +33,6 @@ shapes at pack time:
 """
 from __future__ import annotations
 
-import os
 import struct
 from typing import Dict, List, NamedTuple, Optional
 

@@ -9,12 +9,12 @@ the precomputed GT sub-graph whose seed-node set matches exactly
 """
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple
+from typing import Dict, List
 
 import numpy as np
 
 from ..config import DataConfig, ModelConfig
-from ..graph import SceneGraph, SubgraphSet
+from ..graph import SubgraphSet
 from .dataset import EvalLoader, ImageInfo, TestExample
 
 

@@ -15,7 +15,7 @@ module reconstructs it following the paper's recipe (arXiv:2007.11731 §3.1):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Set
+from typing import Dict, List, Sequence, Set
 
 import numpy as np
 

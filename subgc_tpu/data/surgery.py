@@ -9,7 +9,7 @@ after thresholding the non-background relation probability.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

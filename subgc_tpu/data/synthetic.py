@@ -9,12 +9,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import h5py
 import numpy as np
 
-from .. import graph as GR
 from ..io.sg_npz import write_feat_npz
 
 _WORDS = ("man woman dog cat table chair car tree street sky grass ball game "
@@ -32,10 +29,11 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
                      seed: int = 0, splits=("train", "val", "test"),
                      split_weights=(0.6, 0.2, 0.2),
                      min_obj: int = 6) -> dict:
-    """min_obj=max_obj reproduces real COCO data's invariant of exactly 36
+    """Write a synthetic dataset under `root`; returns a path manifest.
+
+    min_obj=max_obj reproduces real COCO data's invariant of exactly 36
     detections per image (the reference test loader assumes it,
     dataloader_test.py:286)."""
-    """Write a synthetic dataset under `root`; returns a path manifest."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     sg_dir = os.path.join(root, "sg_output_64")

@@ -7,11 +7,10 @@ selections per image (np seed 2019, matching the reference).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
-from .bleu import compute_bleu
 from .tokenizer import tokenize
 
 

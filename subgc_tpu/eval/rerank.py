@@ -17,11 +17,10 @@ TPU-first changes vs the reference:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from .cider import PairwiseCider
 from .tokenizer import tokenize
 
 

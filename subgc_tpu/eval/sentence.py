@@ -9,8 +9,7 @@ every image for i in 0..top_k-1, then
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ with static shapes so the whole encoder+decoder compiles once under jit:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

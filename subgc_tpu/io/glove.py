@@ -9,7 +9,7 @@ here a .npz cache sits alongside).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

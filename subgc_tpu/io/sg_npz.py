@@ -14,8 +14,6 @@ Schemas (SURVEY.md §5, misc/surgery.py:86-95, dataloaders/dataloader.py):
 from __future__ import annotations
 
 import os
-from typing import Dict, List
-
 import numpy as np
 
 

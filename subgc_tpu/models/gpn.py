@@ -14,7 +14,7 @@ Reimplements `models/lib/gpn.py` TPU-first:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

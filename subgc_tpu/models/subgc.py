@@ -13,7 +13,7 @@ and the sub-graph axis is a first-class (padded, static) batch dimension.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

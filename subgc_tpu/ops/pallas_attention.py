@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _attention_kernel(h_ref, patt_ref, att_ref, mask_ref, wh_ref, bh_ref,

@@ -1,7 +1,6 @@
 """Training criteria (misc/utils.py:89-156)."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

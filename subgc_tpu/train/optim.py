@@ -6,8 +6,6 @@ inject_hyperparams, so the whole update is one jitted step.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import optax
 

@@ -14,7 +14,7 @@ shipped configs; this module provides the working TPU pipeline:
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ all-reduce over ICI (no hand-written collectives, per SURVEY.md §2.3).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
