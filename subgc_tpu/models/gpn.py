@@ -112,15 +112,28 @@ def gpn_test_forward(params, x_obj_img, sub_obj_ind, sub_att_mask,
     """Test branch before NMS (gpn.py:83-97): score ALL sub-graphs of one image.
 
     x_obj_img [N, L]; sub_obj_ind/sub_att_mask [S, N] (padded sub-graph axis).
+
+    TPU formulation: the read-out pools via the node-set membership matrix —
+    mean as one MXU matmul, max as a reduce over an unmaterialized broadcast
+    — instead of gathering an [S, N, L] copy of the node features per
+    sub-graph (that gather dominated the encoder at large buckets).  Node
+    sets are duplicate-free (left-packed mask nonzeros) and post-GCN node
+    features are >= 0 (ReLU outputs + their sums), so both pools match the
+    reference's gather/bmm numerics (gpn.py:174-185).
     """
-    gathered = x_obj_img[sub_obj_ind]                            # [S,N,L]
-    read_out = graph_pooling(gathered, sub_att_mask)
+    n_obj = x_obj_img.shape[0]
+    mem = node_membership(sub_obj_ind, sub_att_mask, n_obj)      # [S, n_obj]
+    mean_feat = (mem @ x_obj_img) / sub_att_mask.sum(-1, keepdims=True)
+    # masked max over nodes; XLA fuses the broadcast into the reduce
+    masked = x_obj_img[None, :, :] + (mem[:, :, None] - 1.0) * 1e30
+    max_feat = masked.max(axis=1)
+    read_out = jnp.concatenate([max_feat, mean_feat], axis=-1)
     if not cfg.use_gt_subg:
         scores = gpn_score(params, read_out, cfg, train=False)
     else:
         scores = jnp.ones((sub_obj_ind.shape[0],), jnp.float32)
     fc_feats = readout_project(params, read_out)
-    return GPNTestOut(scores=scores, att_feats=gathered, fc_feats=fc_feats,
+    return GPNTestOut(scores=scores, att_feats=None, fc_feats=fc_feats,
                       att_masks=sub_att_mask)
 
 

@@ -109,7 +109,8 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
         keep_ind = jnp.arange(smax, dtype=jnp.int32)
         keep_valid = subs.valid
 
-    att_feats = out.att_feats[keep_ind]
+    # node features materialize only for the kept sub-graphs
+    att_feats = x_obj_img[subs.obj_ind[keep_ind]]        # [max_keep, N, L]
     fc_feats = out.fc_feats[keep_ind]
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
