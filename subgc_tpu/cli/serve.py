@@ -1,0 +1,178 @@
+"""Caption-serving HTTP endpoint — `python -m subgc_tpu.cli.serve`.
+
+Loads a checkpoint once, keeps the jitted batched inference program warm, and
+serves caption requests over stdlib HTTP (no web-framework dependency):
+
+    POST /caption
+        {"images": [{"id": 1, "object_fmap": [[...]], "object_dist": [[...]],
+                     "rel_ind": [[s,o]...], "pred_dist": [[...]],
+                     "subgraphs": [{"nodes": [...], "rels": [...]}, ...]}]}
+    ->  {"results": [{"id": 1, "captions": [...], "scores": [...]}]}
+
+    GET /healthz -> {"ok": true}
+
+Requests batch onto the static image/bucket shapes (padded; one TPU dispatch
+per request).  The sub-graph list is optional — without it the server
+samples a bank on the fly with data/subgraph_sampler.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8):
+    """Returns handle(images_payload) -> results list."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.subgraph_sampler import sample_subgraph_bank
+    from ..eval.runner import make_batched_infer_fn
+    from ..graph import (SceneGraph, SubgraphSet, make_scene_graph,
+                         pad_subgraph_set, subgraphs_from_masks)
+    from ..utils.text import decode_sequence
+
+    infer = make_batched_infer_fn(mcfg, ecfg)
+    bucket = ecfg.max_subgraph_bucket
+    lock = threading.Lock()    # one dispatch at a time per device
+
+    def to_example(img):
+        graph = make_scene_graph(
+            np.asarray(img["object_fmap"], np.float32),
+            np.asarray(img["object_dist"], np.float32),
+            np.asarray(img["rel_ind"], np.int64),
+            np.asarray(img["pred_dist"], np.float32),
+            mcfg.obj_num, mcfg.rel_num)
+        if img.get("subgraphs"):
+            obj_masks = np.zeros((len(img["subgraphs"]), mcfg.obj_num - 1))
+            pred_masks = np.zeros((len(img["subgraphs"]), mcfg.rel_num - 1))
+            for i, sg in enumerate(img["subgraphs"]):
+                obj_masks[i, np.asarray(sg["nodes"], int)] = 1
+                pred_masks[i, np.asarray(sg.get("rels", []), int)] = 1
+            subs = subgraphs_from_masks(obj_masks, pred_masks,
+                                        mcfg.obj_num, mcfg.rel_num)
+        else:
+            n = np.asarray(img["object_fmap"]).shape[0]
+            bank = sample_subgraph_bank(
+                n, np.asarray(img["rel_ind"], np.int64),
+                [np.arange(min(2, n))] * 5,
+                n_samples=min(bucket - 5, 64))
+            masks = bank["subgraph_mask_list"][5:]
+            obj_masks = np.stack([m[1][:mcfg.obj_num - 1] for m in masks])
+            pred_masks = np.stack([m[2][:mcfg.rel_num - 1] for m in masks])
+            subs = subgraphs_from_masks(obj_masks, pred_masks,
+                                        mcfg.obj_num, mcfg.rel_num)
+        return graph, pad_subgraph_set(subs, bucket)
+
+    def handle(images):
+        examples = [to_example(img) for img in images]
+        n_real = len(examples)
+        while len(examples) < batch_images:
+            examples.append(examples[-1])
+        examples = examples[:batch_images]
+        graph = SceneGraph(*[np.concatenate([g[0][i] for g in examples])
+                             for i in range(4)])
+        subs = SubgraphSet(*[np.stack([np.asarray(g[1][i]) for g in examples])
+                             for i in range(4)])
+        import jax
+        with lock:
+            out = jax.device_get(infer(
+                params, state,
+                jax.tree_util.tree_map(jnp.asarray, graph),
+                jax.tree_util.tree_map(jnp.asarray, subs),
+                jax.random.PRNGKey(0)))
+        results = []
+        for bi in range(n_real):
+            n = int(out["keep_valid"][bi].sum())
+            order = np.argsort(-out["scores"][bi][:n], kind="stable")
+            sents = decode_sequence(vocab, out["seq"][bi][:n][order])
+            results.append({"id": images[bi].get("id", bi),
+                            "captions": sents,
+                            "scores": out["scores"][bi][:n][order].tolist()})
+        return results
+
+    return handle
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service = None
+
+    def log_message(self, *a):      # quiet
+        pass
+
+    def _reply(self, code, payload):
+        blob = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(blob)))
+        self.end_headers()
+        self.wfile.write(blob)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True})
+        else:
+            self._reply(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/caption":
+            self._reply(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            results = _Handler.service(req["images"])
+            self._reply(200, {"results": results})
+        except Exception as e:      # pragma: no cover - defensive
+            self._reply(400, {"error": repr(e)})
+
+
+def serve(service, host: str = "127.0.0.1", port: int = 8742):
+    _Handler.service = service
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    return httpd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar")
+    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8742)
+    p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--batch_images", type=int, default=8)
+    p.add_argument("--beam_size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import ModelConfig, build_configs, config_from_json
+    from ..train import checkpoint as C
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    mcfg, ecfg, _ = build_configs(args.model_type, mode="test")
+    infos = json.load(open(f"{args.checkpoint_path}/infos.json"))
+    mcfg = config_from_json(ModelConfig, infos["model_config"])
+    ecfg = ecfg.replace(max_subgraph_bucket=args.bucket)
+    if args.beam_size:
+        ecfg = ecfg.replace(beam_size=args.beam_size)
+    blob = C.load_pytree_npz(f"{args.checkpoint_path}/model.npz")
+    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
+
+    service = build_service(params, state, mcfg, ecfg, infos["vocab"],
+                            args.batch_images)
+    httpd = serve(service, args.host, args.port)
+    print(f"serving {args.model_type} on http://{args.host}:{args.port} "
+          f"(beam {ecfg.beam_size}, bucket {args.bucket})")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
