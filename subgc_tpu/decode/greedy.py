@@ -33,6 +33,7 @@ class SampleOut(NamedTuple):
 
 def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
            ecfg: EvalConfig, rng: Optional[jax.Array] = None) -> SampleOut:
+    params = D.cast_decoder_weights(params, cfg)
     S = feats.fc.shape[0]
     T = cfg.seq_length
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -44,7 +44,26 @@ def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
 def _dense(x, p, dt):
     if dt == jnp.float32:
         return x @ p["w"] + p["b"]
-    return (x.astype(dt) @ p["w"].astype(dt)).astype(jnp.float32) + p["b"]
+    w = p["w"] if p["w"].dtype == dt else p["w"].astype(dt)
+    return (x.astype(dt) @ w).astype(jnp.float32) + p["b"]
+
+
+def cast_decoder_weights(params, cfg: ModelConfig):
+    """Pre-cast decoder matmul weights to the compute dtype ONCE, so the
+    per-step casts can't end up inside the decode scan (biases stay f32 —
+    they add to the f32-accumulated matmul output).  Idempotent."""
+    dt = cfg.cdtype
+    if dt == jnp.float32:
+        return params
+    dec = dict(params["decoder"])
+    for k in ["fc_embed1", "fc_embed2", "att_embed", "ctx2att", "h2att",
+              "alpha_net", "logit"]:
+        dec[k] = {"w": dec[k]["w"].astype(dt), "b": dec[k]["b"]}
+    for k in ["att_lstm", "lang_lstm"]:
+        dec[k] = {"w_ih": dec[k]["w_ih"].astype(dt),
+                  "w_hh": dec[k]["w_hh"].astype(dt),
+                  "b_ih": dec[k]["b_ih"], "b_hh": dec[k]["b_hh"]}
+    return {**params, "decoder": dec}
 
 
 def _dropout(x, rate, rng, train):
@@ -145,6 +164,7 @@ def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
     drawn from the previous step's distribution instead of the ground truth.
     The per-token python loop of the reference becomes one ``lax.scan``.
     """
+    params = cast_decoder_weights(params, cfg)
     S, T2 = seq.shape
     n_steps = T2 - 1
     V1 = cfg.vocab_size + 1
