@@ -167,7 +167,10 @@ def main(argv=None):
         else:
             gts = _gts_from_loader(loader, args.split)
         aligned = align_predictions(preds, ecfg.oracle_num)
-        scores = language_eval(gts, aligned)
+        scores = language_eval(
+            gts, aligned,
+            cache_dir=os.path.join(args.checkpoint_path, "eval_results"),
+            model_id=args.model_type, split=args.split)
         out = os.path.join(args.checkpoint_path,
                            f"all_scores_{iter_tag}_{ecfg.oracle_num}-subgraph.npy")
         np.save(out, np.asarray(scores, dtype=object), allow_pickle=True)

@@ -9,6 +9,8 @@ every image for i in 0..top_k-1, then
 """
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -42,13 +44,18 @@ def oracle_bleu(best_ind: np.ndarray, materials: List[dict]) -> List[float]:
 
 def language_eval(gts_raw: Dict[object, List[str]], align_pred: List[dict],
                   use_spice: bool = True, use_meteor: bool = True,
-                  verbose: bool = True) -> dict:
+                  verbose: bool = True, cache_dir: str = None,
+                  model_id: str = "model", split: str = "test") -> dict:
     """align_pred: [{'image_id', 'caption': [rank0, rank1, ...]}].
 
     gts_raw: {image_id: [reference strings]} — the annotation store (the
     reference loads captions_val2014.json / caption_flickr30k.json here).
     Returns the all_scores dict (per-rank per-image score matrices + oracle
     summary) in the reference's layout (sentence_utils.py:72-129).
+
+    If ``cache_dir`` is set, the per-rank prediction dumps are written as
+    ``.cache_<model_id>_<split><rank>.json`` — the same inspectable artifact
+    the reference leaves in ``eval_results/`` (sentence_utils.py:69-94).
     """
     # only images present in the annotation set (sentence_utils.py:96-99)
     align_pred = [p for p in align_pred if p["image_id"] in gts_raw]
@@ -69,6 +76,13 @@ def language_eval(gts_raw: Dict[object, List[str]], align_pred: List[dict],
 
     for rank in range(num_oracle):
         res = {p["image_id"]: p["caption"][rank] for p in align_pred}
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_path = os.path.join(
+                cache_dir, f".cache_{model_id}_{split}{rank}.json")
+            with open(cache_path, "w") as f:
+                json.dump([{"image_id": i, "caption": c}
+                           for i, c in res.items()], f)
         scores = evaluator.evaluate(res)
         if rank == 0:
             top1 = dict(scores)

@@ -64,6 +64,15 @@ def test_train_then_test_cli(synth, tmp_path, monkeypatch):
     assert "top1" in scores and "oracle" in scores
     assert scores["oracle"]["CIDEr"] >= scores["top1"]["CIDEr"] - 1e-9
 
+    # per-rank prediction caches (reference sentence_utils.py:85-94)
+    for rank in range(2):
+        cp = os.path.join(ckpt, "eval_results",
+                          f".cache_Sub_GC_Kar_test{rank}.json")
+        assert os.path.exists(cp)
+        dump = json.load(open(cp))
+        assert len(dump) == len(preds)
+        assert {"image_id", "caption"} <= set(dump[0])
+
     # resume training from the checkpoint
     train_cli.main([
         "Sub_GC_Kar",
