@@ -11,22 +11,29 @@ serves caption requests over stdlib HTTP (no web-framework dependency):
 
     GET /healthz -> {"ok": true}
 
-Requests batch onto the static image/bucket shapes (padded; one TPU dispatch
-per request).  The sub-graph list is optional — without it the server
-samples a bank on the fly with data/subgraph_sampler.py.
+Requests batch onto the static image/bucket shapes (padded); concurrent
+clients' images coalesce into shared TPU dispatches (utils/microbatch.py),
+so a full batch costs the same as one padded image.  The sub-graph list is
+optional — without it the server samples a bank on the fly with
+data/subgraph_sampler.py.
 """
 from __future__ import annotations
 
 import argparse
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
-def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8):
-    """Returns handle(images_payload) -> results list."""
+def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
+                  microbatch_wait_ms: float = 3.0):
+    """Returns handle(images_payload) -> results list.
+
+    Concurrent requests coalesce into shared device dispatches via
+    MicroBatcher (the jitted program has a static batch axis, so a full
+    batch costs the same as a padded single image).  handle.batcher is
+    exposed for observability (dispatch_count)."""
     import jax
     import jax.numpy as jnp
 
@@ -34,11 +41,11 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8):
     from ..eval.runner import make_batched_infer_fn
     from ..graph import (SceneGraph, SubgraphSet, make_scene_graph,
                          pad_subgraph_set, subgraphs_from_masks)
+    from ..utils.microbatch import MicroBatcher
     from ..utils.text import decode_sequence
 
     infer = make_batched_infer_fn(mcfg, ecfg)
     bucket = ecfg.max_subgraph_bucket
-    lock = threading.Lock()    # one dispatch at a time per device
 
     def to_example(img):
         graph = make_scene_graph(
@@ -68,33 +75,49 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8):
                                         mcfg.obj_num, mcfg.rel_num)
         return graph, pad_subgraph_set(subs, bucket)
 
-    def handle(images):
-        examples = [to_example(img) for img in images]
+    def run_batch(examples):
+        """examples: 1..batch_images (graph, subs) pairs -> per-example
+        {'seq','scores','keep_valid'} dicts.  Padding slots repeat the last
+        example and are discarded — per-image outputs are independent of
+        batch composition (inference is vmapped per image)."""
         n_real = len(examples)
+        examples = list(examples)
         while len(examples) < batch_images:
             examples.append(examples[-1])
-        examples = examples[:batch_images]
         graph = SceneGraph(*[np.concatenate([g[0][i] for g in examples])
                              for i in range(4)])
         subs = SubgraphSet(*[np.stack([np.asarray(g[1][i]) for g in examples])
                              for i in range(4)])
-        import jax
-        with lock:
-            out = jax.device_get(infer(
-                params, state,
-                jax.tree_util.tree_map(jnp.asarray, graph),
-                jax.tree_util.tree_map(jnp.asarray, subs),
-                jax.random.PRNGKey(0)))
+        out = jax.device_get(infer(
+            params, state,
+            jax.tree_util.tree_map(jnp.asarray, graph),
+            jax.tree_util.tree_map(jnp.asarray, subs),
+            jax.random.PRNGKey(0)))
+        return [{k: out[k][bi] for k in ("seq", "scores", "keep_valid")}
+                for bi in range(n_real)]
+
+    batcher = MicroBatcher(run_batch, max_batch=batch_images,
+                           max_wait_ms=microbatch_wait_ms)
+
+    def handle(images):
+        # split oversized requests so each chunk fits one dispatch; chunks
+        # and other clients' images share dispatches
+        chunks = [[to_example(img) for img in images[i:i + batch_images]]
+                  for i in range(0, len(images), batch_images)]
+        outs = []
+        for chunk in chunks:
+            outs.extend(batcher.submit_many(chunk))
         results = []
-        for bi in range(n_real):
-            n = int(out["keep_valid"][bi].sum())
-            order = np.argsort(-out["scores"][bi][:n], kind="stable")
-            sents = decode_sequence(vocab, out["seq"][bi][:n][order])
-            results.append({"id": images[bi].get("id", bi),
+        for img, out in zip(images, outs):
+            n = int(out["keep_valid"].sum())
+            order = np.argsort(-out["scores"][:n], kind="stable")
+            sents = decode_sequence(vocab, out["seq"][:n][order])
+            results.append({"id": img.get("id", len(results)),
                             "captions": sents,
-                            "scores": out["scores"][bi][:n][order].tolist()})
+                            "scores": out["scores"][:n][order].tolist()})
         return results
 
+    handle.batcher = batcher
     return handle
 
 
@@ -146,6 +169,9 @@ def main(argv=None):
     p.add_argument("--bucket", type=int, default=128)
     p.add_argument("--batch_images", type=int, default=8)
     p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--microbatch_wait_ms", type=float, default=3.0,
+                   help="how long a dispatch waits for more requests to "
+                        "coalesce before running under-full")
     args = p.parse_args(argv)
 
     import jax
@@ -167,7 +193,7 @@ def main(argv=None):
     state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
 
     service = build_service(params, state, mcfg, ecfg, infos["vocab"],
-                            args.batch_images)
+                            args.batch_images, args.microbatch_wait_ms)
     httpd = serve(service, args.host, args.port)
     print(f"serving {args.model_type} on http://{args.host}:{args.port} "
           f"(beam {ecfg.beam_size}, bucket {args.bucket})")
