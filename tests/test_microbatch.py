@@ -45,9 +45,10 @@ def test_concurrent_callers_coalesce():
         t.join()
     assert not errors
     assert results == [i * 10 for i in range(n)]
-    # 16 items at max_batch 8 with a generous fill window: far fewer
-    # dispatches than callers (exactly 2 when timing cooperates)
-    assert mb.dispatch_count <= 6
+    # 16 items at max_batch 8 with a generous fill window: fewer dispatches
+    # than callers proves coalescing (exactly 2 when timing cooperates;
+    # loose bound tolerates single-core scheduling jitter)
+    assert mb.dispatch_count <= 8
 
 
 def test_oversubscribed_queue():
