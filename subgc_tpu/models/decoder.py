@@ -34,6 +34,9 @@ class PreparedFeatures(NamedTuple):
     att: jnp.ndarray      # [S, N, R] embedded node features
     p_att: jnp.ndarray    # [S, N, H] pre-projected for attention
     mask: jnp.ndarray     # [S, N]
+    fc_ih: jnp.ndarray    # [S, 4R]   fc's att-LSTM input-gate contribution,
+    #                      precomputed once — fc is constant across decode
+    #                      steps, so its w_ih slice never belongs in the scan
 
 
 def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
@@ -46,6 +49,13 @@ def _dense(x, p, dt):
         return x @ p["w"] + p["b"]
     w = p["w"] if p["w"].dtype == dt else p["w"].astype(dt)
     return (x.astype(dt) @ w).astype(jnp.float32) + p["b"]
+
+
+def _matmul(x, w, dt):
+    if dt == jnp.float32:
+        return x @ w
+    w = w if w.dtype == dt else w.astype(dt)
+    return (x.astype(dt) @ w).astype(jnp.float32)
 
 
 def cast_decoder_weights(params, cfg: ModelConfig):
@@ -74,8 +84,13 @@ def _dropout(x, rate, rng, train):
 
 
 def _lstm_cell(p, x, h, c, dt):
-    g = _dense(x, {"w": p["w_ih"], "b": p["b_ih"]}, dt) \
-        + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
+    gx = _dense(x, {"w": p["w_ih"], "b": p["b_ih"]}, dt)
+    return _lstm_cell_gx(p, gx, h, c, dt)
+
+
+def _lstm_cell_gx(p, gx, h, c, dt):
+    """LSTM cell with the input-side gates (x @ w_ih + b_ih) precomputed."""
+    g = gx + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
     i, f, gg, o = jnp.split(g, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -103,7 +118,19 @@ def prepare_features(params, fc_feats, att_feats, att_mask, cfg: ModelConfig,
     att = jax.nn.relu(_dense(att_feats, dec["att_embed"], dt))
     att = _dropout(att, cfg.drop_prob_lm, r2, train)
     p_att = _dense(att, dec["ctx2att"], dt)
-    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask)
+    if dt != jnp.float32:
+        # store the per-node streams in the compute dtype: attention is
+        # HBM-bound on these [S,N,R]/[S,N,H] reads every decode step
+        # (hardware: 14 ms of the 32 ms step at S=1920 fp32), so halving
+        # the bytes here is the decode's main bf16 win
+        att = att.astype(dt)
+        p_att = p_att.astype(dt)
+    # fc rides the att-LSTM input as rows R1:2*R1 of w_ih (the
+    # [h_lang, fc, xt] concat in decode_step); precompute its matmul slice
+    R1 = cfg.rnn_size
+    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt)
+    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
+                            fc_ih=fc_ih)
 
 
 def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):
@@ -118,11 +145,15 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
     dt = cfg.cdtype
     if cfg.use_pallas_attention:
         from ..ops.pallas_attention import fused_attention
-        return fused_attention(h, feats.p_att, feats.att, feats.mask,
+        return fused_attention(h, feats.p_att.astype(jnp.float32),
+                               feats.att.astype(jnp.float32), feats.mask,
                                dec["h2att"]["w"], dec["h2att"]["b"],
                                dec["alpha_net"]["w"], dec["alpha_net"]["b"])
     att_h = _dense(h, dec["h2att"], dt)                       # [S, H]
-    dot = jnp.tanh(feats.p_att + att_h[:, None, :])           # [S, N, H]
+    # the broadcast add + tanh runs in p_att's storage dtype so the [S,N,H]
+    # stream stays narrow in bf16 mode (softmax below is f32 regardless)
+    dot = jnp.tanh(feats.p_att
+                   + att_h[:, None, :].astype(feats.p_att.dtype))
     e = _dense(dot, dec["alpha_net"], dt)[..., 0]             # [S, N]
     w = jax.nn.softmax(e, axis=-1)
     w = w * feats.mask
@@ -141,8 +172,14 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     r_emb, r_out = (jax.random.split(rng) if rng is not None else (None, None))
     xt = embed_token(params, token, cfg, train, r_emb)
 
-    x_att = jnp.concatenate([state.h_lang, feats.fc, xt], axis=-1)
-    h_att, c_att = _lstm_cell(dec["att_lstm"], x_att, state.h_att, state.c_att, dt)
+    # att-LSTM input [h_lang, fc, xt] as split matmuls: fc's contribution is
+    # precomputed (feats.fc_ih), only the step-varying terms run in the scan
+    w_ih = dec["att_lstm"]["w_ih"]
+    R1 = cfg.rnn_size
+    gx_att = (_matmul(state.h_lang, w_ih[:R1], dt) + feats.fc_ih
+              + _matmul(xt, w_ih[2 * R1:], dt) + dec["att_lstm"]["b_ih"])
+    h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
+                                 state.c_att, dt)
 
     att_res, att_w = attention(params, h_att, feats, cfg)
 
