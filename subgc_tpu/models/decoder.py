@@ -40,8 +40,11 @@ class PreparedFeatures(NamedTuple):
 
 
 def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
-    z = jnp.zeros((batch, cfg.rnn_size), jnp.float32)
-    return DecoderState(z, z, z, z)
+    # mixed-precision LSTM state: h rides in the compute dtype (it's
+    # re-read by three matmuls per step), c stays f32 (the accumulator)
+    h = jnp.zeros((batch, cfg.rnn_size), cfg.cdtype)
+    c = jnp.zeros((batch, cfg.rnn_size), jnp.float32)
+    return DecoderState(h, c, h, c)
 
 
 def _dense(x, p, dt):
@@ -66,6 +69,7 @@ def cast_decoder_weights(params, cfg: ModelConfig):
     if dt == jnp.float32:
         return params
     dec = dict(params["decoder"])
+    dec["embed"] = dec["embed"].astype(dt)   # halves the per-step gather
     for k in ["fc_embed1", "fc_embed2", "att_embed", "ctx2att", "h2att",
               "alpha_net", "logit"]:
         dec[k] = {"w": dec[k]["w"].astype(dt), "b": dec[k]["b"]}
@@ -89,7 +93,11 @@ def _lstm_cell(p, x, h, c, dt):
 
 
 def _lstm_cell_gx(p, gx, h, c, dt):
-    """LSTM cell with the input-side gates (x @ w_ih + b_ih) precomputed."""
+    """LSTM cell with the input-side gates (x @ w_ih + b_ih) precomputed.
+
+    Gate math and c stay f32; the returned h is cast to the compute dtype
+    (hardware bisection: the decode LSTMs are bound by the f32 state/gate
+    streams, not MXU throughput — docs/PERF.md)."""
     g = gx + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
     i, f, gg, o = jnp.split(g, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -97,7 +105,10 @@ def _lstm_cell_gx(p, gx, h, c, dt):
     o = jax.nn.sigmoid(o)
     gg = jnp.tanh(gg)
     c2 = f * c + i * gg
-    return o * jnp.tanh(c2), c2
+    h2 = o * jnp.tanh(c2)
+    if dt != jnp.float32:
+        h2 = h2.astype(dt)
+    return h2, c2
 
 
 def prepare_features(params, fc_feats, att_feats, att_mask, cfg: ModelConfig,
@@ -183,9 +194,14 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
 
     att_res, att_w = attention(params, h_att, feats, cfg)
 
-    x_lang = jnp.concatenate([att_res, h_att], axis=-1)
-    h_lang, c_lang = _lstm_cell(dec["lang_lstm"], x_lang, state.h_lang,
-                                state.c_lang, dt)
+    # lang-LSTM input [att_res, h_att] as split matmuls (no concat
+    # materialization; h_att stays in its storage dtype)
+    w_ih_l = dec["lang_lstm"]["w_ih"]
+    gx_lang = (_matmul(att_res, w_ih_l[:cfg.rnn_size], dt)
+               + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt)
+               + dec["lang_lstm"]["b_ih"])
+    h_lang, c_lang = _lstm_cell_gx(dec["lang_lstm"], gx_lang, state.h_lang,
+                                   state.c_lang, dt)
     out = _dropout(h_lang, cfg.drop_prob_lm, r_out, train)
     logits = _dense(out, dec["logit"], dt)
     logprobs = jax.nn.log_softmax(logits, axis=-1)

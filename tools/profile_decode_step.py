@@ -69,22 +69,24 @@ def main():
         xt = jax.nn.relu(dec["embed"][tok])
         x_att = jnp.concatenate([state.h_lang, fts.fc, xt], -1)
         h_att, c_att = D._lstm_cell(dec["att_lstm"], x_att, state.h_att,
-                                    state.c_att, jnp.float32)
+                                    state.c_att, cfg.cdtype)
         x_lang = jnp.concatenate([h_att, h_att], -1)
         h_lang, c_lang = D._lstm_cell(dec["lang_lstm"], x_lang, state.h_lang,
-                                      state.c_lang, jnp.float32)
+                                      state.c_lang, cfg.cdtype)
         return D.DecoderState(h_att, c_att, h_lang, c_lang), tok
 
     def attention_only(carry, fts):
         state, tok = carry
         att_res, _ = D.attention(params, state.h_att, fts, cfg)
-        return D.DecoderState(att_res, state.c_att, state.h_lang,
+        return D.DecoderState(att_res.astype(state.h_att.dtype),
+                              state.c_att, state.h_lang,
                               state.c_lang), tok
 
     def logit_only(carry, fts):
         state, tok = carry
-        lp = jax.nn.log_softmax(state.h_lang @ dec["logit"]["w"]
-                                + dec["logit"]["b"], -1)
+        # mirror the real path: _dense accumulates into f32 logits
+        lp = jax.nn.log_softmax(D._dense(state.h_lang, dec["logit"],
+                                         cfg.cdtype), -1)
         tok = jnp.argmax(lp, -1).astype(jnp.int32)
         return state, tok
 
@@ -92,7 +94,8 @@ def main():
         state, tok = carry
         # emulate the beam candidate selection: per sub-graph, 3 argmax
         # passes over beam*vocab
-        cand = (state.h_lang[:, :1] + jnp.zeros((R, V1))).reshape(S, 3 * V1)
+        cand = (state.h_lang[:, :1].astype(jnp.float32)
+                + jnp.zeros((R, V1))).reshape(S, 3 * V1)
         v, i = jax.vmap(lambda x: _topk_small(x, 3))(cand)
         tok = (i[:, 0] % V1).astype(jnp.int32)
         tok = jnp.repeat(tok, 3)[:R]
