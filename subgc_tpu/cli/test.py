@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--input_label_h5", type=str, default=None)
     p.add_argument("--sg_dir", type=str, default=None)
     p.add_argument("--mask_dir", type=str, default=None)
+    p.add_argument("--packed_path", type=str, default=None,
+                   help="mmap'ed packed shard(s) (glob / comma-list) "
+                        "replacing --sg_dir/--mask_dir (tools/pack_dataset)")
     p.add_argument("--annotations_json", type=str, default=None,
                    help="GT annotation json for language eval "
                         "({image_id: [captions]}); defaults to the "
@@ -97,7 +100,8 @@ def main(argv=None):
             ecfg = ecfg.replace(**{k: bool(v) if k in ("return_att",
                                                        "use_topk_sampling")
                                    else v})
-    for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir"]:
+    for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir",
+              "packed_path"]:
         if getattr(args, k) is not None:
             dcfg = dcfg.replace(**{k: getattr(args, k)})
 

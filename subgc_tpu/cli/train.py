@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--input_label_h5", type=str, default=None)
     p.add_argument("--sg_dir", type=str, default=None)
     p.add_argument("--mask_dir", type=str, default=None)
+    p.add_argument("--packed_path", type=str, default=None,
+                   help="mmap'ed packed shard(s) (glob / comma-list) "
+                        "replacing --sg_dir/--mask_dir (tools/pack_dataset)")
     p.add_argument("--glove_path", type=str, default=None)
     p.add_argument("--obj_name_path", type=str, default=None)
     p.add_argument("--rel_name_path", type=str, default=None)
@@ -71,7 +74,7 @@ def main(argv=None):
         if getattr(args, k) is not None:
             overrides["train"][k] = getattr(args, k)
     for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir",
-              "glove_path", "obj_name_path", "rel_name_path"]:
+              "packed_path", "glove_path", "obj_name_path", "rel_name_path"]:
         if getattr(args, k) is not None:
             overrides["data"][k] = getattr(args, k)
 

@@ -160,9 +160,9 @@ class TrainLoader(Loader):
         """One image -> (graph arrays, per-sentence sub-graph indices, labels)."""
         img_id = self.ds.images[ix]["id"]
         m = self.mcfg
-        md = self.masks.get(img_id)
-        mask_info = md["subgraph_mask_list"]
         spi, half = self.seq_per_img, self.half
+        fast = getattr(self.masks, "get_fast", None)
+        md = fast(img_id) if fast else self.masks.get(img_id)
 
         if not self.use_gt_subg:
             mask_idx = sample_pos_neg(md["node_iou_mtx"], self.thres, half,
@@ -172,15 +172,27 @@ class TrainLoader(Loader):
             # (dataloader.py:305-333)
             mask_idx = np.tile(np.arange(spi)[:, None, None], (1, half, 2))
 
-        sub_obj = np.full((spi, 2, half, m.obj_num), m.obj_num - 1, np.int32)
-        sub_mask = np.zeros((spi, 2, half, m.obj_num), np.float32)
-        for i in range(spi):
-            for k in range(half):
-                for p in range(2):
-                    oi, am, _ = _left_pack(mask_info[mask_idx[i, k, p]],
-                                           m.obj_num, m.rel_num)
-                    sub_obj[i, p, k] = oi
-                    sub_mask[i, p, k] = am
+        if fast:
+            # shard rows are already left-packed: one fancy gather
+            # [spi, half, 2, obj] -> [spi, 2, half, obj]
+            sub_obj = np.ascontiguousarray(
+                md["sub_obj_ind"][mask_idx].transpose(0, 2, 1, 3)
+            ).astype(np.int32, copy=False)
+            sub_mask = np.ascontiguousarray(
+                md["sub_att_mask"][mask_idx].transpose(0, 2, 1, 3)
+            ).astype(np.float32, copy=False)
+        else:
+            mask_info = md["subgraph_mask_list"]
+            sub_obj = np.full((spi, 2, half, m.obj_num), m.obj_num - 1,
+                              np.int32)
+            sub_mask = np.zeros((spi, 2, half, m.obj_num), np.float32)
+            for i in range(spi):
+                for k in range(half):
+                    for p in range(2):
+                        oi, am, _ = _left_pack(mask_info[mask_idx[i, k, p]],
+                                               m.obj_num, m.rel_num)
+                        sub_obj[i, p, k] = oi
+                        sub_mask[i, p, k] = am
 
         graph, _ = self._scene_graph(img_id)
         label, masks = self._labels_for(ix)
@@ -251,15 +263,13 @@ class EvalLoader(Loader):
         img = self.ds.images[ix]
         img_id = img["id"]
         m = self.mcfg
-        md = self.masks.get(img_id)
-        mask_info = md["subgraph_mask_list"]
+        fast = getattr(self.masks, "get_fast", None)
+        md = fast(img_id) if fast else self.masks.get(img_id)
         total = md["node_iou_mtx"][:, 5:].shape[1]
         M = total // 2
         # flat order: first-half block then second-half block, skipping the
-        # 5 GT slots (dataloader_test.py:226-230)
-        order = list(range(5, 5 + M)) + list(range(5 + M, 5 + 2 * M))
-
-        S = len(order)
+        # 5 GT slots (dataloader_test.py:226-230) — contiguous 5..5+2M
+        S = 2 * M
         if S > self.bucket:
             raise ValueError(
                 f"image {img_id} has {S} sub-graphs > bucket {self.bucket}; "
@@ -269,12 +279,19 @@ class EvalLoader(Loader):
         att_mask[:, 0] = 1.0       # padded slots keep the dummy node "live"
         pred_ind = np.full((self.bucket, m.rel_num), m.rel_num - 1, np.int32)
         valid = np.zeros((self.bucket,), bool)
-        for s, mi in enumerate(order):
-            oi, am, pi = _left_pack(mask_info[mi], m.obj_num, m.rel_num)
-            obj_ind[s] = oi
-            att_mask[s] = am
-            pred_ind[s] = pi
-            valid[s] = True
+        if fast:
+            obj_ind[:S] = md["sub_obj_ind"][5:5 + S]
+            att_mask[:S] = md["sub_att_mask"][5:5 + S]
+            pred_ind[:S] = md["sub_pred_ind"][5:5 + S]
+            valid[:S] = True
+        else:
+            mask_info = md["subgraph_mask_list"]
+            for s in range(S):
+                oi, am, pi = _left_pack(mask_info[5 + s], m.obj_num, m.rel_num)
+                obj_ind[s] = oi
+                att_mask[s] = am
+                pred_ind[s] = pi
+                valid[s] = True
 
         graph, sg_raw = self._scene_graph(img_id)
         subs = SubgraphSet(obj_ind=obj_ind, pred_ind=pred_ind,

@@ -79,3 +79,16 @@ class PackedMaskSource(PackedSource):
                             np.zeros((0, 2), np.int64), nodes[:1]])
         return {"node_iou_mtx": r["node_iou"][:, :total],
                 "subgraph_mask_list": entries}
+
+    def get_fast(self, img_id) -> Dict:
+        """Zero-roundtrip view: the shard already stores sub-graphs in the
+        model's left-packed layout, so the loaders can gather rows directly
+        instead of rebuilding dense masks and re-packing them (the slow
+        `get()` path exists only for npz-interface compatibility)."""
+        r = self._rec(img_id)
+        total = 5 + int(r["counts"][2])
+        return {"node_iou_mtx": r["node_iou"][:, :total],
+                "sub_obj_ind": r["sub_obj_ind"][:total],
+                "sub_att_mask": r["sub_att_mask"][:total],
+                "sub_pred_ind": r["sub_pred_ind"][:total],
+                "total": total}

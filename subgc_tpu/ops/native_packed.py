@@ -52,6 +52,30 @@ def _load():
     return _lib
 
 
+class _LazyRecord:
+    """Dict-like field accessor over one packed record buffer."""
+    __slots__ = ("_buf", "_offsets", "_cache")
+
+    def __init__(self, buf, offsets):
+        self._buf = buf
+        self._offsets = offsets
+        self._cache = {}
+
+    def __getitem__(self, name):
+        v = self._cache.get(name)
+        if v is None:
+            off, dt, shape, size = self._offsets[name]
+            v = np.frombuffer(self._buf[off:off + size],
+                              dtype=dt).reshape(shape)
+            if name == "img_id":
+                v = int(v[()])
+            self._cache[name] = v
+        return v
+
+    def keys(self):
+        return self._offsets.keys()
+
+
 class NativePackedReader:
     def __init__(self, path: str):
         lib = _load()
@@ -89,17 +113,17 @@ class NativePackedReader:
             self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
 
-    def record(self, i: int) -> Dict[str, np.ndarray]:
+    def record(self, i: int) -> "_LazyRecord":
+        """Zero-copy lazy view over the mmap'ed record: fields materialize
+        (as read-only numpy views) only when accessed, so a source that
+        reads 3 of the 11 fields parses 3.  Views alias the mmap — keep the
+        reader alive while they're in use (the loaders own it for their
+        whole lifetime)."""
         ptr = self.lib.subgc_packed_record(self.handle, i)
         if not ptr:
             raise IndexError(i)
         buf = np.ctypeslib.as_array(ptr, shape=(self.record_size,))
-        out = {}
-        for name, (off, dt, shape, size) in self._offsets.items():
-            out[name] = np.frombuffer(buf[off:off + size].tobytes(),
-                                      dtype=dt).reshape(shape)
-        out["img_id"] = int(out["img_id"][()])
-        return out
+        return _LazyRecord(buf, self._offsets)
 
     def gather(self, indices: Sequence[int]) -> np.ndarray:
         """Batched contiguous copy of records -> [n, record_size] uint8."""
