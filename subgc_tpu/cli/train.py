@@ -59,6 +59,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()   # no-op unless SUBGC_COORDINATOR etc.
+
     from ..config import build_configs, config_to_json
     from ..data.dataset import TrainLoader
     from ..io.glove import class_embeddings
@@ -165,8 +168,14 @@ def main(argv=None):
     from ..data.prefetch import BatchPrefetcher
     from ..utils.profiling import PhaseTimers
     timers = PhaseTimers()
-    place = (lambda b: M.shard_leading_axis(mesh, b)) if mesh is not None \
-        else None
+    if mesh is not None:
+        # multi-host: every process assembles the same global batch
+        # (identical seed -> identical RNG stream) but transfers only its
+        # local slice; shard_leading_axis reassembles the global jax.Array
+        from ..parallel.distributed import slice_local_shards
+        place = (lambda b: M.shard_leading_axis(mesh, slice_local_shards(b)))
+    else:
+        place = None
     loader_lock = threading.Lock()   # val batches share the loader state
 
     def _next_train():

@@ -204,13 +204,20 @@ class TrainLoader(Loader):
         bs = self.batch_size
         it = self.iterators[split]
         wrapped = False
-        if it + bs > len(order):      # drop last incomplete batch, reshuffle
-            it = 0
-            wrapped = True
-            if split == "train":
-                random.Random(int(self.rng.randint(1 << 31))).shuffle(order)
-        ixs = order[it:it + bs]
-        self.iterators[split] = it + bs
+        # wrap per-image so batches are always exactly batch_size (the
+        # reference's BlobFetcher does the same, dataloader.py:447-459);
+        # a fixed batch shape is also what the sharded device_put needs
+        ixs = []
+        while len(ixs) < bs:
+            if it >= len(order):
+                it = 0
+                wrapped = True
+                if split == "train":
+                    random.Random(int(self.rng.randint(1 << 31))
+                                  ).shuffle(order)
+            ixs.append(order[it])
+            it += 1
+        self.iterators[split] = it
 
         graphs, objs, masks_, labels, lmasks, infos = [], [], [], [], [], []
         for ix in ixs:

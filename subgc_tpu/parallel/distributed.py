@@ -51,3 +51,27 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def slice_local_shards(tree, process_index: Optional[int] = None,
+                       process_count: Optional[int] = None):
+    """Each process's slice of every leading axis of a global host batch.
+
+    TrainBatch leaves carry different leading multipliers (B*obj_num
+    features, B*seq_per_img labels, ...) — all divisible by B, so a
+    per-leaf proportional slice keeps image boundaries intact.  Feed the
+    result to mesh.shard_leading_axis, which reassembles the global
+    jax.Array from the per-process shards.
+    """
+    import jax
+
+    pc = process_count if process_count is not None else jax.process_count()
+    if pc <= 1:
+        return tree
+    pi = process_index if process_index is not None else jax.process_index()
+
+    def cut(x):
+        per = x.shape[0] // pc
+        return x[pi * per:(pi + 1) * per]
+
+    return jax.tree_util.tree_map(cut, tree)

@@ -43,8 +43,18 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_leading_axis(mesh: Mesh, tree):
-    """Device-put every array leaf with its leading axis on the data axis."""
+    """Device-put every array leaf with its leading axis on the data axis.
+
+    Multi-host (DCN) runs: each process passes only its local slice of the
+    global batch (parallel/distributed.py::local_batch_slice) and the
+    global jax.Array is assembled from the per-process shards — no
+    cross-host batch broadcast.  Single-host: plain sharded device_put.
+    """
     s = batch_sharded(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
