@@ -19,6 +19,9 @@ def parse_args(argv=None):
     p.add_argument("model_type", nargs="?", default="Sub_GC_Kar")
     p.add_argument("--checkpoint_path", type=str, default="logs/run")
     p.add_argument("--start_from", type=str, default=None)
+    p.add_argument("--auto_resume", type=int, default=0,
+                   help="resume from checkpoint_path/model.npz if present "
+                        "(preemption recovery for managed TPU jobs)")
     p.add_argument("--word_mapping", type=str, default=None,
                    help="word_mapping.npy for cross-dataset finetune: maps "
                         "new vocab index -> old (models/__init__.py:14-41)")
@@ -107,6 +110,14 @@ def main(argv=None):
     histories = {"loss_history": {}, "lr_history": {}, "ss_prob_history": {},
                  "val_loss_history": {}}
 
+    if (args.auto_resume and not args.start_from
+            and os.path.exists(os.path.join(args.checkpoint_path,
+                                            "model.npz"))):
+        # preemption recovery: pick up where the last run in this
+        # checkpoint dir stopped (the reference restarts from scratch —
+        # SURVEY.md §5 lists no recovery path)
+        args.start_from = args.checkpoint_path
+        print(f"auto-resuming from {args.checkpoint_path}")
     if args.start_from:
         p2, s2, o2, infos, histories2 = C.load_checkpoint(
             args.start_from, opt_state_template=ts.opt_state)

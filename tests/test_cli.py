@@ -113,3 +113,25 @@ def test_scst_cli(synth, tmp_path):
         "--rel_name_path", synth["rel_name_path"],
     ])
     assert os.path.exists(os.path.join(ckpt, "model.npz"))
+
+
+def test_auto_resume(synth, tmp_path):
+    """--auto_resume 1 picks up checkpoint_path/model.npz after a restart
+    (simulated preemption recovery); ignored on the first run."""
+    from subgc_tpu.cli import train as train_cli
+    ckpt = str(tmp_path / "resume_run")
+    base = [
+        "Sub_GC_Kar", "--checkpoint_path", ckpt, "--auto_resume", "1",
+        "--batch_size", "4", "--save_checkpoint_every", "2",
+        "--val_images_use", "2",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ]
+    train_cli.main(base + ["--max_iters", "2"])
+    assert json.load(open(os.path.join(ckpt, "infos.json")))["iter"] == 2
+    # "restart": same command, higher iter target -> resumes at 2, not 0
+    train_cli.main(base + ["--max_iters", "3"])
+    assert json.load(open(os.path.join(ckpt, "infos.json")))["iter"] == 3
