@@ -22,6 +22,10 @@ def parse_args(argv=None):
     p.add_argument("--auto_resume", type=int, default=0,
                    help="resume from checkpoint_path/model.npz if present "
                         "(preemption recovery for managed TPU jobs)")
+    p.add_argument("--trace_steps", type=str, default=None,
+                   help="'START:COUNT' — capture a jax.profiler device "
+                        "trace over those train steps into "
+                        "checkpoint_path/trace (view with xprof)")
     p.add_argument("--word_mapping", type=str, default=None,
                    help="word_mapping.npy for cross-dataset finetune: maps "
                         "new vocab index -> old (models/__init__.py:14-41)")
@@ -197,9 +201,16 @@ def main(argv=None):
     from ..utils.logging import MetricsLogger
     metrics_log = MetricsLogger(args.checkpoint_path)
     t_start = time.time()
+    trace_start = trace_stop = -1
+    if args.trace_steps:
+        a, b = args.trace_steps.split(":")
+        trace_start, trace_stop = int(a), int(a) + int(b)
     try:
       while True:
         sp = ss_prob(epoch, tcfg)
+        if iteration == trace_start:
+            jax.profiler.start_trace(
+                os.path.join(args.checkpoint_path, "trace"))
         with timers.phase("data"):
             batch, (infos_b, wrapped) = prefetch.next()
         rng, r = jax.random.split(rng)
@@ -227,6 +238,11 @@ def main(argv=None):
                                    jnp.asarray(epoch, jnp.int32),
                                    jnp.asarray(sp))
         iteration += 1
+        if iteration == trace_stop:
+            jax.block_until_ready(ts.params)
+            jax.profiler.stop_trace()
+            print(f"device trace ({trace_start}:{trace_stop}) -> "
+                  f"{os.path.join(args.checkpoint_path, 'trace')}")
 
         if iteration % tcfg.losses_log_every == 0:
             m = jax.device_get(metrics)
