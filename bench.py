@@ -50,8 +50,10 @@ def main():
         defaults = dict(images="64", bucket="1024", beam="1", batch="4",
                         nms=0.55, keep=1000)
     else:
-        # Sub_GC_Kar at beam 3 (BASELINE.json metric)
-        defaults = dict(images="512", bucket="128", beam="3", batch="64",
+        # Sub_GC_Kar at beam 3 (BASELINE.json metric).  batch 96 is the
+        # single-chip sweet spot: 64 -> 15.2k, 96 -> 16.2k, 112+ falls off
+        # an HBM cliff (8.4k at 112, 10.4k at 128) — docs/PERF.md
+        defaults = dict(images="768", bucket="128", beam="3", batch="96",
                         nms=0.75, keep=10)
     n_images = int(os.environ.get("BENCH_IMAGES", defaults["images"]))
     bucket = int(os.environ.get("BENCH_BUCKET", defaults["bucket"]))
