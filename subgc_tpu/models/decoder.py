@@ -111,23 +111,78 @@ def _lstm_cell_gx(p, gx, h, c, dt):
     return h2, c2
 
 
+def att_embed(params, att_feats, att_mask, cfg: ModelConfig,
+              train: bool = False, rng=None, bn_state=None):
+    """The att_embed Sequential (AttModel.py:114-119) with pack_wrapper
+    semantics (AttModel.py:28-37,364): BatchNorm statistics cover only real
+    nodes and padded positions output exactly zero.
+
+    Reference-dim note: AttModel.py:115 declares ``BatchNorm1d(att_feat_size)``
+    but feeds it the GCN output of dim gcn_dim — the torch module only runs
+    when those dims coincide (no shipped config enables use_bn).  BN0 here is
+    over the true input dim.
+
+    Returns (att [., N, R], new_bn_state).
+    """
+    from . import encoder as E
+
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    x = att_feats
+    new_bn = bn_state
+    if cfg.use_bn:
+        if bn_state is None:
+            raise ValueError("use_bn != 0 requires bn_state "
+                             "(state['att_bn'] from init_params)")
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        y, s0 = E.batch_norm_1d(flat, dec["att_bn0"], bn_state["bn0"], train,
+                                mask=att_mask.reshape(-1))
+        x = y.reshape(lead + (x.shape[-1],))
+        new_bn = {**bn_state, "bn0": s0}
+    att = jax.nn.relu(_dense(x, dec["att_embed"], dt))
+    att = _dropout(att, cfg.drop_prob_lm, rng, train)
+    if cfg.use_bn == 2:
+        lead = att.shape[:-1]
+        flat = att.reshape(-1, att.shape[-1]).astype(jnp.float32)
+        y, s1 = E.batch_norm_1d(flat, dec["att_bn1"], new_bn["bn1"], train,
+                                mask=att_mask.reshape(-1))
+        att = y.reshape(lead + (att.shape[-1],))
+        new_bn = {**new_bn, "bn1": s1}
+    if cfg.use_bn:
+        # pad_packed_sequence zero-fills the padded rows
+        att = att * att_mask[..., None]
+    return att, new_bn
+
+
 def prepare_features(params, fc_feats, att_feats, att_mask, cfg: ModelConfig,
-                     train: bool = False, rng=None) -> PreparedFeatures:
+                     train: bool = False, rng=None,
+                     bn_state=None) -> PreparedFeatures:
     """fc_embed / att_embed / ctx2att projections (AttModel.py:356-368).
 
     The reference packs variable-length node lists before att_embed
     (pack_wrapper); with static shapes we apply the projection everywhere and
     rely on the attention mask, which is numerically identical for the
-    shipped configs (use_bn=0).
+    shipped configs (use_bn=0).  With use_bn != 0 the BN running-stat updates
+    are dropped here — training paths use :func:`prepare_features_bn`.
     """
+    feats, _ = prepare_features_bn(params, fc_feats, att_feats, att_mask, cfg,
+                                   train, rng, bn_state)
+    return feats
+
+
+def prepare_features_bn(params, fc_feats, att_feats, att_mask,
+                        cfg: ModelConfig, train: bool = False, rng=None,
+                        bn_state=None):
+    """prepare_features returning (feats, new_bn_state) for BN-stat updates."""
     dec = params["decoder"]
     dt = cfg.cdtype
     r1, r2, r3 = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
     fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
     fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
     fc = _dropout(fc, cfg.drop_prob_lm, r1, train)
-    att = jax.nn.relu(_dense(att_feats, dec["att_embed"], dt))
-    att = _dropout(att, cfg.drop_prob_lm, r2, train)
+    att, new_bn = att_embed(params, att_feats, att_mask, cfg, train, r2,
+                            bn_state)
     p_att = _dense(att, dec["ctx2att"], dt)
     if dt != jnp.float32:
         # store the per-node streams in the compute dtype: attention is
@@ -141,7 +196,7 @@ def prepare_features(params, fc_feats, att_feats, att_mask, cfg: ModelConfig,
     R1 = cfg.rnn_size
     fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt)
     return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
-                            fc_ih=fc_ih)
+                            fc_ih=fc_ih), new_bn
 
 
 def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):

@@ -23,18 +23,30 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 
 
-def batch_norm_1d(x, p, s, train: bool, momentum: float = 0.1, eps: float = 1e-5):
+def batch_norm_1d(x, p, s, train: bool, momentum: float = 0.1, eps: float = 1e-5,
+                  mask=None):
     """torch.nn.BatchNorm1d over a flattened [M, C] view.
 
     Returns (y, new_state).  Uses batch statistics in training (and updates the
     running stats with torch's unbiased-variance convention), running
     statistics at eval.
+
+    mask [M] (optional): statistics cover only rows with mask=1 — the
+    pack_wrapper semantics of the reference (`models/AttModel.py:28-37,364`),
+    where BatchNorm1d only ever sees the packed (real) rows.
     """
     if train:
-        mean = x.mean(0)
-        var = x.var(0)
-        m = x.shape[0]
-        unbiased = var * (m / max(m - 1, 1))
+        if mask is None:
+            mean = x.mean(0)
+            var = x.var(0)
+            m = x.shape[0]
+            unbiased = var * (m / max(m - 1, 1))
+        else:
+            m = mask.sum()
+            mean = (x * mask[:, None]).sum(0) / m
+            d = (x - mean) * mask[:, None]
+            var = (d * d).sum(0) / m
+            unbiased = var * (m / jnp.maximum(m - 1.0, 1.0))
         new_state = {"mean": (1 - momentum) * s["mean"] + momentum * mean,
                      "var": (1 - momentum) * s["var"] + momentum * unbiased}
     else:
@@ -139,7 +151,7 @@ def gcn_forward(params, state, x_obj, x_pred, rel_ind, cfg: ModelConfig,
             x_pred = x_pred + res_pred
             res_pred = x_pred
 
-    return x_obj, x_pred, {"gcn_bn": new_state}
+    return x_obj, x_pred, {**state, "gcn_bn": new_state}
 
 
 def encode_graph(params, state, graph, cfg: ModelConfig, train: bool = False):

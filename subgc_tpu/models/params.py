@@ -89,11 +89,6 @@ def init_params(key, cfg: ModelConfig,
     if n_pred_names is None:
         n_pred_names = cfg.num_rel_classes
 
-    if cfg.use_bn:
-        raise NotImplementedError(
-            "att_embed batchnorm (use_bn 1/2) is not implemented; every "
-            "shipped reference config trains with use_bn=0 (opts.py:46-47)")
-
     keys = iter(jax.random.split(key, 64))
     L, E, R, H = cfg.gcn_dim, cfg.embed_dim, cfg.rnn_size, cfg.att_hid_size
     V1 = cfg.vocab_size + 1
@@ -169,6 +164,17 @@ def init_params(key, cfg: ModelConfig,
         "alpha_net": _linear(next(keys), H, 1),
         "logit": _linear(next(keys), R, V1),
     }
+    if cfg.use_bn:
+        # att_embed BatchNorm (AttModel.py:114-119; opts.py:46-47).  The
+        # reference declares BatchNorm1d(att_feat_size) but feeds it the GCN
+        # output of dim gcn_dim (AttModel.py:364) — the torch module only runs
+        # when the dims coincide; the BN here is over the true input dim.
+        dec["att_bn0"] = _bn(L)
+        att_bn = {"bn0": _bn_state(L)}
+        if cfg.use_bn == 2:
+            dec["att_bn1"] = _bn(R)
+            att_bn["bn1"] = _bn_state(R)
+        state["att_bn"] = att_bn
     params["decoder"] = dec
 
     return params, state

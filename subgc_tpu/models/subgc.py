@@ -57,8 +57,11 @@ def train_forward(params, state, graph: SceneGraph, labels, sub_obj_ind,
         att_masks = jnp.zeros((att_feats.shape[0], cfg.obj_num),
                               jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
 
-    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
-                               train, rngs[1])
+    feats, att_bn = D.prepare_features_bn(params, fc_feats, att_feats,
+                                          att_masks, cfg, train, rngs[1],
+                                          state.get("att_bn"))
+    if cfg.use_bn:
+        new_state = {**new_state, "att_bn": att_bn}
     logprobs = D.forward_teacher(params, feats, labels, cfg, train, rngs[2],
                                  ss_prob)
     return logprobs, gpn_loss, scores, new_state
@@ -85,17 +88,19 @@ def encode_image(params, state, graph: SceneGraph, subs: Optional[SubgraphSet],
         read_out = att_feats.mean(1)
         fc_feats = _full_graph_readout(params, read_out)
         att_masks = jnp.zeros((1, cfg.obj_num), jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
-        feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
+        feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
+                                   bn_state=state.get("att_bn"))
         ones = jnp.ones((1,), jnp.float32)
         return EncodedImage(feats=feats, scores=ones,
                             keep_ind=jnp.zeros((1,), jnp.int32),
                             keep_valid=jnp.ones((1,), bool))
 
-    return _encode_one(params, x_obj[0], subs, cfg, ecfg)
+    return _encode_one(params, x_obj[0], subs, cfg, ecfg,
+                       state.get("att_bn"))
 
 
 def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
-                ecfg: EvalConfig) -> EncodedImage:
+                ecfg: EvalConfig, bn_state=None) -> EncodedImage:
     """sGPN + NMS + feature prep for one image's node features [N, L]."""
     out = G.gpn_test_forward(params, x_obj_img, subs.obj_ind, subs.att_mask, cfg)
     use_nms = not ecfg.sct    # reference: use_nms = False if sct else True (AttModel.py:95)
@@ -114,7 +119,8 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
     fc_feats = out.fc_feats[keep_ind]
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
-    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
+    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
+                               bn_state=bn_state)
     return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
                         keep_valid=keep_valid)
 
@@ -131,7 +137,8 @@ def encode_images_batched(params, state, graph: SceneGraph,
     sub-graph, AttModel.py:216-231).
     """
     x_obj, _, _ = E.encode_graph(params, state, graph, cfg, train=False)
-    one = lambda xo, su: _encode_one(params, xo, su, cfg, ecfg)
+    one = lambda xo, su: _encode_one(params, xo, su, cfg, ecfg,
+                                     state.get("att_bn"))
     enc = jax.vmap(one)(x_obj, subs)
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[2:]), enc)

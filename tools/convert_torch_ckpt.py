@@ -80,11 +80,15 @@ def torch_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Tuple[dict, di
         params["readout"] = {"readout1": _lin(sd, "read_out_proj.0"),
                              "readout2": _lin(sd, "read_out_proj.1")}
 
+    # att_embed Sequential indices shift with use_bn (AttModel.py:114-119):
+    # use_bn=0 -> [Linear, ReLU, Dropout]; use_bn=1 -> [BN, Linear, ...];
+    # use_bn=2 additionally appends a trailing BN at index 4.
+    att_lin = f"att_embed.{1 if cfg.use_bn else 0}"
     params["decoder"] = {
         "embed": sd["embed.0.weight"].astype(np.float32),
         "fc_embed1": _lin(sd, "fc_embed.0"),
         "fc_embed2": _lin(sd, "fc_embed.2"),
-        "att_embed": _lin(sd, "att_embed.0"),
+        "att_embed": _lin(sd, att_lin),
         "ctx2att": _lin(sd, "ctx2att"),
         "att_lstm": _lstm(sd, "core.att_lstm"),
         "lang_lstm": _lstm(sd, "core.lang_lstm"),
@@ -92,6 +96,20 @@ def torch_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Tuple[dict, di
         "alpha_net": _lin(sd, "core.attention.alpha_net"),
         "logit": _lin(sd, "logit"),
     }
+    if cfg.use_bn:
+        dec = params["decoder"]
+        dec["att_bn0"] = {"scale": sd["att_embed.0.weight"].astype(np.float32),
+                          "bias": sd["att_embed.0.bias"].astype(np.float32)}
+        att_bn = {"bn0": {
+            "mean": sd["att_embed.0.running_mean"].astype(np.float32),
+            "var": sd["att_embed.0.running_var"].astype(np.float32)}}
+        if cfg.use_bn == 2:
+            dec["att_bn1"] = {"scale": sd["att_embed.4.weight"].astype(np.float32),
+                              "bias": sd["att_embed.4.bias"].astype(np.float32)}
+            att_bn["bn1"] = {
+                "mean": sd["att_embed.4.running_mean"].astype(np.float32),
+                "var": sd["att_embed.4.running_var"].astype(np.float32)}
+        state["att_bn"] = att_bn
     return params, state
 
 
