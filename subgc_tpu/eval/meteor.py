@@ -5,18 +5,22 @@ The reference shells out to the METEOR 1.5 Java jar
 its paraphrase tables are NOT shipped in the repo (downloaded separately), so
 this is a from-scratch Python implementation of the METEOR 1.5 algorithm:
 
-* stage-wise word alignment — exact match, then Porter-stem match — chosen to
+* stage-wise word alignment — exact match, Porter-stem match, then a
+  synonym stage over a built-in caption-domain synonym table — chosen to
   (1) maximize matches and (2) minimize crossing/chunks (greedy approximation
   of the jar's beam search)
 * recall-weighted harmonic mean + cubic fragmentation penalty; multi-
   reference = max over references
 
-Parameters are the classic METEOR English settings (Banerjee & Lavie):
-alpha=0.9 (Fmean = 10PR/(R+9P)), penalty = 0.5*(chunks/matches)^3, stage
-weights (exact 1.0, stem 0.6).  DIVERGENCE from the 1.5 jar: no
-WordNet-synonym or paraphrase stages (their data files are external
-downloads the reference doesn't ship either); scores correlate but are not
-bit-identical.
+Parameters are the METEOR 1.5 English settings: alpha=0.9
+(Fmean = 10PR/(R+9P)), penalty = 0.5*(chunks/matches)^3, stage weights
+(exact 1.0, stem 0.6, synonym 0.8).  DIVERGENCE from the 1.5 jar: the
+synonym stage uses a curated caption-domain table instead of WordNet synsets
+and there is no paraphrase stage (both data files are external downloads the
+reference doesn't ship either); scores correlate but are not bit-identical.
+Fidelity is quantified against an independent oracle implementation (nltk's
+meteor_score) on a pinned corpus — see tests/test_metric_fidelity.py and
+docs/METRICS.md for the measured deltas.
 """
 from __future__ import annotations
 
@@ -29,28 +33,85 @@ from .stemmer import porter_stem
 ALPHA = 0.9       # recall weight in the harmonic mean
 BETA = 3.0        # fragmentation exponent
 GAMMA = 0.5       # max penalty
-STAGE_WEIGHTS = [1.0, 0.6]    # exact, stem
+STAGE_WEIGHTS = [1.0, 0.6, 0.8]    # exact, stem, synonym (METEOR 1.5 English)
+
+# Caption-domain synonym groups (WordNet-free stand-in for the jar's synset
+# stage; curated for COCO/Flickr caption vocabulary).
+SYNONYM_GROUPS = [
+    "man guy gentleman male", "woman lady female", "kid child youngster",
+    "person human individual", "photo photograph picture image",
+    "bike bicycle cycle", "motorbike motorcycle",
+    "car automobile vehicle", "bus coach", "taxi cab",
+    "plane airplane aeroplane aircraft jet", "boat ship vessel",
+    "train locomotive", "truck lorry",
+    "dog puppy canine pup", "cat kitten feline kitty",
+    "bird fowl", "horse pony", "cow cattle", "sheep lamb",
+    "big large huge enormous giant", "small little tiny",
+    "quick fast rapid speedy swift", "slow sluggish",
+    "happy glad joyful cheerful", "sad unhappy",
+    "pretty beautiful lovely gorgeous attractive",
+    "street road roadway", "sidewalk pavement", "highway freeway motorway",
+    "sea ocean", "stream creek brook", "woods forest",
+    "hill slope", "rock stone", "grass lawn", "yard garden",
+    "house home residence", "store shop", "restaurant diner eatery cafe",
+    "couch sofa settee", "tv television", "fridge refrigerator",
+    "phone telephone cellphone smartphone", "laptop notebook",
+    "cup mug", "plate dish", "bag sack purse handbag",
+    "hat cap", "coat jacket", "shirt top", "pants trousers",
+    "shoe sneaker boot", "glasses spectacles eyeglasses sunglasses",
+    "trash garbage rubbish", "gift present",
+    "begin start commence", "end finish conclude",
+    "speak talk converse", "look watch observe view",
+    "walk stroll", "run sprint jog", "jump leap hop",
+    "hold grasp grip clutch", "throw toss hurl",
+    "eat consume devour", "drink sip",
+    "smile grin", "laugh chuckle giggle",
+    "near close nearby", "far distant",
+    "beneath underneath below", "atop upon",
+    "couple pair duo", "group crowd bunch",
+    "field meadow pasture", "mountain peak",
+    "snow snowfall", "rain rainfall", "fog mist",
+    "baby infant toddler", "boy lad", "girl lass",
+    "food meal cuisine", "pizza pie", "sandwich sub",
+]
+_SYN_ID = {}
+for _gi, _grp in enumerate(SYNONYM_GROUPS):
+    for _w in _grp.split():
+        _SYN_ID[_w] = _gi
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
-    """Greedy stage-wise alignment.  Returns [(hyp_i, ref_j, stage)]."""
+def _syn_key(w: str):
+    """Synonym-stage key: the group id if the word is in the table, else the
+    word itself (identical leftovers may still pair at this stage)."""
+    return _SYN_ID.get(w, w)
+
+
+def _align_greedy(keys, rkeys, n_hyp: int, n_ref: int,
+                  policy: int) -> List[Tuple[int, int, int]]:
+    """One greedy stage-wise alignment pass.
+
+    policy 0: walk hyp left-to-right, match the nearest unused ref occurrence
+    after the previous match (monotone bias).  policy 1: first unused ref
+    occurrence (the nltk heuristic).  Both are maximal per stage (every
+    matchable hyp word gets matched); they differ only in WHICH occurrence,
+    i.e. in the resulting chunk count.
+    """
     matches = []
-    used_h = [False] * len(hyp)
-    used_r = [False] * len(ref)
-    keys = [hyp, [porter_stem(w) for w in hyp]]
-    rkeys = [ref, [porter_stem(w) for w in ref]]
+    used_h = [False] * n_hyp
+    used_r = [False] * n_ref
     for stage in range(len(keys)):
         hk, rk = keys[stage], rkeys[stage]
-        # prefer monotone pairs: walk hyp left-to-right, match nearest
-        # unused ref occurrence (minimizes chunks in the common case)
         last_j = -1
-        for i in range(len(hyp)):
+        for i in range(n_hyp):
             if used_h[i]:
                 continue
             best = None
-            for j in range(len(ref)):
+            for j in range(n_ref):
                 if used_r[j] or rk[j] != hk[i]:
                     continue
+                if policy == 1:
+                    best = (None, j)
+                    break
                 d = (0 if j > last_j else 1, abs(j - (last_j + 1)))
                 if best is None or d < best[0]:
                     best = (d, j)
@@ -63,6 +124,22 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
     return sorted(matches)
 
 
+def _align(hyp: List[str], ref: List[str],
+           n_stages: int = 3) -> List[Tuple[int, int, int]]:
+    """Stage-wise alignment.  Returns [(hyp_i, ref_j, stage)].
+
+    The METEOR jar resolves alignment ties by (most matches, fewest chunks)
+    via beam search; here several greedy candidate alignments are computed
+    and the winner is picked by the same criterion.
+    """
+    keys = [hyp, [porter_stem(w) for w in hyp], [_syn_key(w) for w in hyp]]
+    rkeys = [ref, [porter_stem(w) for w in ref], [_syn_key(w) for w in ref]]
+    keys, rkeys = keys[:n_stages], rkeys[:n_stages]
+    cands = [_align_greedy(keys, rkeys, len(hyp), len(ref), policy)
+             for policy in (0, 1)]
+    return min(cands, key=lambda m: (-len(m), _chunks(m)))
+
+
 def _chunks(matches: List[Tuple[int, int, int]]) -> int:
     if not matches:
         return 0
@@ -73,7 +150,17 @@ def _chunks(matches: List[Tuple[int, int, int]]) -> int:
     return ch
 
 
-def meteor_sentence(hypothesis: str, references: List[str]) -> float:
+def meteor_sentence(hypothesis: str, references: List[str],
+                    stage_weights: List[float] = None) -> float:
+    """METEOR score of one hypothesis vs references (max over refs).
+
+    stage_weights: per-stage match weights; also controls how many stages
+    run.  Default = the shipped METEOR-1.5 weights.  Pass [1.0, 1.0] for the
+    classic Banerjee/Lavie configuration (exact+stem, unweighted) — used by
+    the fidelity tests to compare against the nltk oracle implementation on
+    identical terms.
+    """
+    weights = STAGE_WEIGHTS if stage_weights is None else stage_weights
     hyp = hypothesis.split()
     if not hyp:
         return 0.0
@@ -82,10 +169,10 @@ def meteor_sentence(hypothesis: str, references: List[str]) -> float:
         ref = reference.split()
         if not ref:
             continue
-        matches = _align(hyp, ref)
+        matches = _align(hyp, ref, n_stages=len(weights))
         if not matches:
             continue
-        m = sum(STAGE_WEIGHTS[s] for _, _, s in matches)
+        m = sum(weights[s] for _, _, s in matches)
         P = m / len(hyp)
         R = m / len(ref)
         if P == 0 or R == 0:
