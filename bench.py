@@ -132,14 +132,45 @@ def main():
         # bucket 128, keep 10); other presets have no comparable pin
         with open(_BASELINE_FILE) as f:
             baseline = json.load(f).get("captions_per_sec_cpu")
-    vs = cps / (baseline * GPU_EST_FACTOR) if baseline else None
+    vs_cpu = cps / baseline if baseline else None
+    vs_gpu_est = cps / (baseline * GPU_EST_FACTOR) if baseline else None
+
+    # MFU of the fused program from XLA's own cost analysis (flops per
+    # dispatch), against the chip's published bf16 matmul peak.  fp32 runs
+    # are rated against the same bf16 peak (conservative: fp32 matmuls
+    # cannot exceed it).
+    tflops, mfu = None, None
+    try:
+        g, s = dev_batches[0]
+        cost = infer.lower(params, state, g, s, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_dispatch = float(cost.get("flops", 0.0))
+        caps_per_dispatch = total_caps / n_batches
+        dispatches_per_sec = cps / caps_per_dispatch
+        tflops = flops_per_dispatch * dispatches_per_sec / 1e12
+        kind = jax.devices()[0].device_kind.lower()
+        peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+                 "v4": 275e12, "v6": 918e12, "trillium": 918e12}
+        peak = next((v for k, v in peaks.items() if k in kind), None)
+        if peak and flops_per_dispatch > 0:
+            mfu = 100.0 * tflops * 1e12 / peak
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": f"captions/sec/chip ({preset} preset: beam={beam}, "
                   f"bucket={bucket}, NMS keep {defaults['keep']}, {dtype})",
         "value": round(cps, 2),
         "unit": "captions/sec",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
+        # measured: reference PyTorch on THIS host's CPU (torch_baseline.json)
+        "vs_torch_cpu_measured": round(vs_cpu, 2) if vs_cpu else None,
+        # estimate: measured CPU ratio / 30x CPU->V100 factor (documented
+        # guess — the reference publishes no GPU throughput, SURVEY.md §6)
+        "vs_gpu_estimated_30x": round(vs_gpu_est, 2) if vs_gpu_est else None,
+        "vs_baseline": round(vs_gpu_est, 2) if vs_gpu_est is not None else None,
+        "model_tflops_per_sec": round(tflops, 3) if tflops else None,
+        "mfu_pct_of_bf16_peak": round(mfu, 2) if mfu else None,
     }))
 
 
