@@ -28,12 +28,18 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
                      seq_length: int = 16, feat_dim: int = 2048,
                      seed: int = 0, splits=("train", "val", "test"),
                      split_weights=(0.6, 0.2, 0.2),
-                     min_obj: int = 6) -> dict:
+                     min_obj: int = 6, learnable: bool = False) -> dict:
     """Write a synthetic dataset under `root`; returns a path manifest.
 
     min_obj=max_obj reproduces real COCO data's invariant of exactly 36
     detections per image (the reference test loader assumes it,
-    dataloader_test.py:286)."""
+    dataloader_test.py:286).
+
+    learnable=True makes captions a deterministic function of the image:
+    each object gets a peaked class distribution and the GT captions name
+    the image's dominant classes in sorted order, so a model that learns
+    the class-embedding -> decoder mapping shows real held-out CIDEr gains
+    within ~100 optimizer steps (used by the always-on learning test)."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     sg_dir = os.path.join(root, "sg_output_64")
@@ -54,19 +60,34 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
         images.append({"id": int(img_id), "split": str(split),
                        "file_path": f"synthetic/{img_id}.jpg"})
 
-        # 5 GT captions
-        start_ix.append(len(all_labels) + 1)          # 1-indexed
-        for _ in range(5):
-            ln = rng.randint(5, seq_length)
-            row = np.zeros(seq_length, np.int64)
-            row[:ln] = rng.randint(1, vocab_size + 1, ln)
-            all_labels.append(row)
-        end_ix.append(len(all_labels))
-
-        # scene graph npz
+        # scene graph geometry first (learnable captions depend on it)
         n = rng.randint(min_obj, max_obj + 1)
         k = rng.randint(8, max_rel + 1)
-        obj_dist = rng.dirichlet(np.ones(n_obj_classes), n).astype("f")
+        if learnable:
+            # peaked class distributions: argmax(obj_dist[1:]) is unambiguous
+            cls = rng.randint(1, n_obj_classes, n)
+            obj_dist = rng.dirichlet(np.ones(n_obj_classes), n).astype("f")
+            obj_dist *= 0.1
+            obj_dist[np.arange(n), cls] += 0.9
+        else:
+            obj_dist = rng.dirichlet(np.ones(n_obj_classes), n).astype("f")
+
+        # 5 GT captions
+        start_ix.append(len(all_labels) + 1)          # 1-indexed
+        for c in range(5):
+            row = np.zeros(seq_length, np.int64)
+            if learnable:
+                # caption = the image's dominant classes, sorted, mapped
+                # into the caption vocab — a function the model can learn
+                toks = np.unique((cls - 1) % vocab_size + 1)[:seq_length - 1]
+                if c > 0 and len(toks) > 3 and rng.rand() < 0.5:
+                    toks = np.delete(toks, rng.randint(len(toks)))  # variety
+                row[:len(toks)] = toks
+            else:
+                ln = rng.randint(5, seq_length)
+                row[:ln] = rng.randint(1, vocab_size + 1, ln)
+            all_labels.append(row)
+        end_ix.append(len(all_labels))
         pred_dist = rng.dirichlet(np.ones(n_rel_classes), k).astype("f")
         rel_ind = rng.randint(0, n, (k, 2)).astype(np.int64)
         boxes = np.abs(rng.rand(n, 4)).astype("f") * 296
