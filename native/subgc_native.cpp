@@ -45,11 +45,10 @@ bool is_digit(char c) { return c >= '0' && c <= '9'; }
 
 void append_tok(std::vector<std::string>* out, std::string t, bool lowercase) {
   if (t.empty()) return;
-  static const char* special[] = {"-LRB-", "-RRB-", "-LCB-", "-RCB-"};
-  bool is_special = false;
-  for (const char* s : special)
-    if (t == s) is_special = true;
-  if (lowercase && !is_special)
+  // bracket tokens are emitted lowercased already (the jar's -lowerCase
+  // output is lowercase, so the wrapper's case-sensitive strip keeps them;
+  // see subgc_tpu/eval/tokenizer.py module docstring)
+  if (lowercase)
     for (auto& c : t)
       if (c >= 'A' && c <= 'Z') c += 32;
   out->push_back(std::move(t));
@@ -85,10 +84,12 @@ std::vector<std::string> ptb_tokenize_sentence(const std::string& in,
     char c = in[i];
     switch (c) {
       case '\n': s += ' '; break;
-      case '(': case '[': s += " -LRB- "; break;
-      case ')': case ']': s += " -RRB- "; break;
-      case '{': s += " -LCB- "; break;
-      case '}': s += " -RCB- "; break;
+      case '(': s += " -lrb- "; break;
+      case ')': s += " -rrb- "; break;
+      case '[': s += " -lsb- "; break;
+      case ']': s += " -rsb- "; break;
+      case '{': s += " -lcb- "; break;
+      case '}': s += " -rcb- "; break;
       case ';': case '@': case '#': case '$': case '%': case '&':
       case '?': case '!':
         s += ' '; s += c; s += ' ';
@@ -152,6 +153,13 @@ std::vector<std::string> ptb_tokenize_sentence(const std::string& in,
     while (j < s.size() && s[j] != ' ') j++;
     if (j > i) {
       std::string w = s.substr(i, j - i);
+      // closing single quote: word-final apostrophe splits off (before
+      // contraction handling, like the python rule order)
+      bool trailing_quote = false;
+      if (w.size() > 1 && w.back() == '\'' && w[w.size() - 2] != '\'') {
+        w.pop_back();
+        trailing_quote = true;
+      }
       std::string lw = w;
       for (auto& c : lw)
         if (c >= 'A' && c <= 'Z') c += 32;
@@ -165,6 +173,7 @@ std::vector<std::string> ptb_tokenize_sentence(const std::string& in,
       } else {
         append_tok(&toks, std::move(w), lowercase);
       }
+      if (trailing_quote) toks.push_back("'");
     }
     i = j;
   }

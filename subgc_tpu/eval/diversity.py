@@ -24,9 +24,9 @@ def _select_best5(item: dict, top_k: int, rng: np.random.RandomState):
 
 
 def distinct_ratio(predictions: List[dict], top_ns=(20, 100),
-                   seed: int = 2019) -> List[float]:
+                   seed: int = 2019, rng=None) -> List[float]:
     """Mean per-image fraction of unique captions among random top_n."""
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed) if rng is None else rng
     out = np.zeros((len(top_ns), len(predictions)))
     for i, item in enumerate(predictions):
         sub_num = len(item["caption"])
@@ -38,12 +38,12 @@ def distinct_ratio(predictions: List[dict], top_ns=(20, 100),
 
 
 def novel_count(predictions: List[dict], train_sentences: Sequence[str],
-                top_ns=(20, 100), seed: int = 2019) -> List[int]:
+                top_ns=(20, 100), seed: int = 2019, rng=None) -> List[int]:
     """Count of best-5 captions not present in the train corpus
     (diversity_score.py:115-144; train sentences lowercased, periods
     stripped)."""
     train = set(s.lower().replace(".", "") for s in train_sentences)
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed) if rng is None else rng
     counts = [0] * len(top_ns)
     for item in predictions:
         for t, top_k in enumerate(top_ns):
@@ -53,10 +53,10 @@ def novel_count(predictions: List[dict], train_sentences: Sequence[str],
 
 
 def ngram_diversity(predictions: List[dict], top_ns=(20, 100),
-                    seed: int = 2019) -> np.ndarray:
+                    seed: int = 2019, rng=None) -> np.ndarray:
     """[len(top_ns), 2] distinct 1-/2-gram ratios of best-5 sets
     (diversity_score.py:86-112: both normalized by total word count)."""
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed) if rng is None else rng
     out = np.zeros((len(top_ns), 2, len(predictions)))
     for i, item in enumerate(predictions):
         for t, top_k in enumerate(top_ns):
@@ -72,7 +72,7 @@ def ngram_diversity(predictions: List[dict], top_ns=(20, 100),
 
 
 def mbleu4(predictions: List[dict], top_ns=(20, 100),
-           seed: int = 2019) -> List[float]:
+           seed: int = 2019, rng=None) -> List[float]:
     """Mutual BLEU-4: each best-5 caption scored against the other 4
     (diversity_score.py:57-84).  Lower = more diverse.
 
@@ -80,7 +80,7 @@ def mbleu4(predictions: List[dict], top_ns=(20, 100),
     shared RNG stream)."""
     from ..ops.native import mutual_bleu4 as native_mb4
 
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed) if rng is None else rng
     per_img = [[] for _ in top_ns]
     for item in predictions:
         for t, top_k in enumerate(top_ns):
@@ -94,13 +94,20 @@ def mbleu4(predictions: List[dict], top_ns=(20, 100),
 def diversity_report(predictions: List[dict],
                      train_sentences: Sequence[str] = (),
                      evaluate_mb4: bool = True, seed: int = 2019) -> dict:
+    """All four metrics, consuming ONE RNG stream in the reference's metric
+    order — mBLEU4 (if enabled), n-gram, novel, distinct — so every number
+    equals the reference script's output byte for byte
+    (diversity_score.py:8,20,57-163 runs metrics 4,3,2,1 against a single
+    np.random.seed(2019) stream; per-metric fresh streams would select
+    different random sub-sets for every metric after the first)."""
+    rng = np.random.RandomState(seed)
     report = {}
-    report["distinct"] = distinct_ratio(predictions, seed=seed)
-    if train_sentences:
-        report["novel"] = novel_count(predictions, train_sentences, seed=seed)
-    ng = ngram_diversity(predictions, seed=seed)
+    if evaluate_mb4:
+        report["mBLEU4"] = mbleu4(predictions, rng=rng)
+    ng = ngram_diversity(predictions, rng=rng)
     report["ngram"] = {"1gram@20": float(ng[0, 0]), "2gram@20": float(ng[0, 1]),
                        "1gram@100": float(ng[1, 0]), "2gram@100": float(ng[1, 1])}
-    if evaluate_mb4:
-        report["mBLEU4"] = mbleu4(predictions, seed=seed)
+    if train_sentences:
+        report["novel"] = novel_count(predictions, train_sentences, rng=rng)
+    report["distinct"] = distinct_ratio(predictions, rng=rng)
     return report
