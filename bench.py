@@ -61,7 +61,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", defaults["batch"]))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
 
-    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype)
+    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
+                      bf16_lstm_gates=os.environ.get("BENCH_BF16_GATES") == "1")
     ecfg = EvalConfig(beam_size=beam, gpn_nms_thres=defaults["nms"],
                       gpn_max_subg=defaults["keep"],
                       max_subgraph_bucket=bucket)

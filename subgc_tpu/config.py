@@ -55,6 +55,10 @@ class ModelConfig:
 
     # numerics: params live in float32; matmuls may run in bfloat16 on TPU
     compute_dtype: str = "float32"
+    # keep the [S, 4R] LSTM gate streams in bfloat16 (c stays f32) — only
+    # meaningful with compute_dtype="bfloat16"; measured trade-off in
+    # docs/PERF.md (the decode LSTMs are bound by these streams, not MXU)
+    bf16_lstm_gates: bool = False
     # fused Pallas attention kernel in the decoder (ops/pallas_attention.py)
     use_pallas_attention: bool = False
 

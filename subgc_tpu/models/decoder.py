@@ -54,11 +54,14 @@ def _dense(x, p, dt):
     return (x.astype(dt) @ w).astype(jnp.float32) + p["b"]
 
 
-def _matmul(x, w, dt):
+def _matmul(x, w, dt, keep=False):
+    """x @ w in compute dtype dt.  keep=True leaves the product in dt
+    (bf16 gate streams); default casts back to the f32 accumulator."""
     if dt == jnp.float32:
         return x @ w
     w = w if w.dtype == dt else w.astype(dt)
-    return (x.astype(dt) @ w).astype(jnp.float32)
+    y = x.astype(dt) @ w
+    return y if keep else y.astype(jnp.float32)
 
 
 def cast_decoder_weights(params, cfg: ModelConfig):
@@ -92,12 +95,26 @@ def _lstm_cell(p, x, h, c, dt):
     return _lstm_cell_gx(p, gx, h, c, dt)
 
 
-def _lstm_cell_gx(p, gx, h, c, dt):
+def _lstm_cell_gx(p, gx, h, c, dt, bf16_gates=False):
     """LSTM cell with the input-side gates (x @ w_ih + b_ih) precomputed.
 
-    Gate math and c stay f32; the returned h is cast to the compute dtype
-    (hardware bisection: the decode LSTMs are bound by the f32 state/gate
-    streams, not MXU throughput — docs/PERF.md)."""
+    Default: gate math and c stay f32; the returned h is cast to the compute
+    dtype (hardware bisection: the decode LSTMs are bound by the f32
+    state/gate streams, not MXU throughput — docs/PERF.md).
+
+    bf16_gates=True (cfg.bf16_lstm_gates): the [S, 4R] gate streams and the
+    sigmoid/tanh run in bf16 — halves the dominant LSTM bytes — while c and
+    its update stay f32.  gx must already be in dt."""
+    if bf16_gates and dt != jnp.float32:
+        g = gx + _matmul(h, p["w_hh"], dt, keep=True) + p["b_hh"].astype(dt)
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        o = jax.nn.sigmoid(o)
+        gg = jnp.tanh(gg)
+        c2 = f.astype(jnp.float32) * c + (i * gg).astype(jnp.float32)
+        h2 = (o.astype(jnp.float32) * jnp.tanh(c2)).astype(dt)
+        return h2, c2
     g = gx + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
     i, f, gg, o = jnp.split(g, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -194,7 +211,8 @@ def prepare_features_bn(params, fc_feats, att_feats, att_mask,
     # fc rides the att-LSTM input as rows R1:2*R1 of w_ih (the
     # [h_lang, fc, xt] concat in decode_step); precompute its matmul slice
     R1 = cfg.rnn_size
-    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt)
+    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
+                    keep=cfg.bf16_lstm_gates)
     return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
                             fc_ih=fc_ih), new_bn
 
@@ -242,21 +260,30 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     # precomputed (feats.fc_ih), only the step-varying terms run in the scan
     w_ih = dec["att_lstm"]["w_ih"]
     R1 = cfg.rnn_size
-    gx_att = (_matmul(state.h_lang, w_ih[:R1], dt) + feats.fc_ih
-              + _matmul(xt, w_ih[2 * R1:], dt) + dec["att_lstm"]["b_ih"])
+    bf16g = cfg.bf16_lstm_gates and dt != jnp.float32
+    b_ih_a = dec["att_lstm"]["b_ih"]
+    fc_ih = feats.fc_ih
+    if bf16g:
+        b_ih_a = b_ih_a.astype(dt)
+        fc_ih = fc_ih if fc_ih.dtype == dt else fc_ih.astype(dt)
+    gx_att = (_matmul(state.h_lang, w_ih[:R1], dt, keep=bf16g) + fc_ih
+              + _matmul(xt, w_ih[2 * R1:], dt, keep=bf16g) + b_ih_a)
     h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
-                                 state.c_att, dt)
+                                 state.c_att, dt, bf16g)
 
     att_res, att_w = attention(params, h_att, feats, cfg)
 
     # lang-LSTM input [att_res, h_att] as split matmuls (no concat
     # materialization; h_att stays in its storage dtype)
     w_ih_l = dec["lang_lstm"]["w_ih"]
-    gx_lang = (_matmul(att_res, w_ih_l[:cfg.rnn_size], dt)
-               + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt)
-               + dec["lang_lstm"]["b_ih"])
+    b_ih_l = dec["lang_lstm"]["b_ih"]
+    if bf16g:
+        b_ih_l = b_ih_l.astype(dt)
+    gx_lang = (_matmul(att_res, w_ih_l[:cfg.rnn_size], dt, keep=bf16g)
+               + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt, keep=bf16g)
+               + b_ih_l)
     h_lang, c_lang = _lstm_cell_gx(dec["lang_lstm"], gx_lang, state.h_lang,
-                                   state.c_lang, dt)
+                                   state.c_lang, dt, bf16g)
     out = _dropout(h_lang, cfg.drop_prob_lm, r_out, train)
     logits = _dense(out, dec["logit"], dt)
     logprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -41,3 +41,12 @@ def test_bf16_encode_decode_close_to_f32(tiny_cfg, rng_np):
     # token agreement is high but not guaranteed bitwise — require > 80%
     agree = (np.asarray(out32.seq) == np.asarray(out16.seq)).mean()
     assert agree > 0.8, f"bf16 token agreement only {agree:.2f}"
+
+    # bf16 gate streams (cfg.bf16_lstm_gates): c stays f32, gates in bf16
+    cfg16g = cfg16.replace(bf16_lstm_gates=True)
+    enc16g = subgc.encode_image(params, state, g, subs, cfg16g, ecfg)
+    out16g = beam.beam_search(params, enc16g.feats, cfg16g, ecfg)
+    agree_g = (np.asarray(out32.seq) == np.asarray(out16g.seq)).mean()
+    assert agree_g > 0.8, f"bf16-gates token agreement only {agree_g:.2f}"
+    gr = greedy.sample(params, enc16g.feats, cfg16g, ecfg)
+    assert np.asarray(gr.seq).shape[1] == cfg16g.seq_length
