@@ -59,13 +59,20 @@ def main():
     bucket = int(os.environ.get("BENCH_BUCKET", defaults["bucket"]))
     beam = int(os.environ.get("BENCH_BEAM", defaults["beam"]))
     batch = int(os.environ.get("BENCH_BATCH", defaults["batch"]))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # default = the fastest deployment config: bf16 compute + bf16 LSTM gate
+    # streams (>80% token agreement vs f32, tests/test_bf16.py; fp32 runs at
+    # 16.3k vs 19.8k caps/s — docs/PERF.md).  BENCH_DTYPE=float32 restores f32.
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
-                      bf16_lstm_gates=os.environ.get("BENCH_BF16_GATES") == "1")
+                      bf16_lstm_gates=os.environ.get(
+                          "BENCH_BF16_GATES", "1" if dtype == "bfloat16"
+                          else "0") == "1")
     ecfg = EvalConfig(beam_size=beam, gpn_nms_thres=defaults["nms"],
                       gpn_max_subg=defaults["keep"],
-                      max_subgraph_bucket=bucket)
+                      max_subgraph_bucket=bucket,
+                      beam_chunk=int(os.environ.get("BENCH_BEAM_CHUNK",
+                                                    "1024")))
     params, state = init_params(jax.random.PRNGKey(0), cfg,
                                 n_obj_names=cfg.num_obj_classes,
                                 n_pred_names=cfg.num_rel_classes)
@@ -159,9 +166,10 @@ def main():
     except Exception:
         pass
 
+    dt_tag = dtype + ("+bf16gates" if cfg.bf16_lstm_gates else "")
     print(json.dumps({
         "metric": f"captions/sec/chip ({preset} preset: beam={beam}, "
-                  f"bucket={bucket}, NMS keep {defaults['keep']}, {dtype})",
+                  f"bucket={bucket}, NMS keep {defaults['keep']}, {dt_tag})",
         "value": round(cps, 2),
         "unit": "captions/sec",
         # measured: reference PyTorch on THIS host's CPU (torch_baseline.json)

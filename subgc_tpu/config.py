@@ -117,6 +117,11 @@ class EvalConfig:
     gpn_nms_thres: float = 0.75
     gpn_max_subg: int = 1
     max_subgraph_bucket: int = 1024     # static padded size of the sub-graph axis
+    # sequential chunking of the vmapped beam decode: XLA's tiling of the
+    # fused decode program degrades ~1.7x past 1024 sub-graphs per dispatch
+    # (measured cliff between S=1024 and S=1056 on v5e — docs/PERF.md);
+    # larger batches decode in lax.map chunks of this size instead
+    beam_chunk: int = 1024
     use_topk_sampling: bool = False
     topk_temp: float = 0.6
     the_k: int = 3

@@ -199,6 +199,48 @@ def _beam_search_one(params, feats_one: D.PreparedFeatures, cfg: ModelConfig,
 
 def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
                 ecfg: EvalConfig) -> BeamOut:
-    """Beam search over a batch of sub-graphs: vmap of the single case."""
-    fn = lambda p, f: _beam_search_one(p, f, cfg, ecfg)
-    return jax.vmap(fn, in_axes=(None, 0))(params, feats)
+    """Beam search over a batch of sub-graphs: vmap of the single case.
+
+    Two measured v5e tiling effects are handled here (docs/PERF.md):
+    * fp32: the fused decode program degrades ~1.7x past 1024 sub-graphs in
+      one vmap (S=1024 -> 75 ms, S=1056 -> 122 ms) — batches beyond
+      ``ecfg.beam_chunk`` decode in sequential ``lax.map`` chunks
+      (even ceil-split: S=1120 -> 2 chunks of 560, not 1024 + padding);
+    * bf16: the program is ~18% slower whenever S is not a multiple of 128
+      (640/768/896 fast, 704/832/960 slow) — the axis pads up to 128.
+    ``beam_chunk=0`` disables both (used by the equivalence test).
+    """
+    fn = lambda p, f: jax.vmap(
+        lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
+    S = feats.fc.shape[0]
+    limit = ecfg.beam_chunk
+    align = 1 if cfg.cdtype == jnp.float32 else 128
+    if align != 1 and limit > 0:
+        # bf16's slow tiling starts by S=1024 already (960-pad-to-1024 was
+        # measured slower than unpadded 960); 512-row chunks measured fastest
+        # end-to-end (19.7-19.8k caps/s vs 16.5k at 640-chunks, bench kar)
+        limit = min(limit, 512)
+    if limit <= 0 or (S <= limit and S % align == 0):
+        return fn(params, feats)
+    n_chunks = max(1, -(-S // limit))
+    chunk = -(-S // n_chunks)
+    chunk = -(-chunk // align) * align
+    pad = n_chunks * chunk - S
+    if pad:
+        # padded rows: zero features but an all-ones mask so the attention
+        # renormalization stays finite (outputs are sliced off below)
+        def _pad(x, ones=False):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=1.0 if ones else 0)
+        feats = D.PreparedFeatures(
+            fc=_pad(feats.fc), att=_pad(feats.att), p_att=_pad(feats.p_att),
+            mask=_pad(feats.mask, ones=True), fc_ih=_pad(feats.fc_ih))
+    if n_chunks == 1:
+        out = fn(params, feats)
+    else:
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), feats)
+        out = jax.lax.map(lambda f: fn(params, f), chunked)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:]), out)
+    return jax.tree_util.tree_map(lambda x: x[:S], out)

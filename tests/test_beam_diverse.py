@@ -61,3 +61,30 @@ def test_diverse_beam_parity(ref, tiny_cfg, rng_np, group_size,
     n_keep = int(np.asarray(enc.keep_valid).sum())
     assert n_keep == seq_t.shape[0]
     np.testing.assert_array_equal(np.asarray(out.seq)[:n_keep], seq_t.numpy())
+
+
+def test_beam_chunking_matches_unchunked(tiny_cfg, tiny_params, rng_np):
+    """lax.map-chunked beam decode (beam_chunk < S) == one-shot vmap."""
+    import jax.numpy as jnp
+    from subgc_tpu.models import decoder as D
+
+    params, _ = tiny_params
+    cfg = tiny_cfg
+    S = 10
+    feats = D.PreparedFeatures(
+        fc=jnp.asarray(rng_np.randn(S, cfg.rnn_size), jnp.float32),
+        att=jnp.asarray(rng_np.randn(S, cfg.obj_num, cfg.rnn_size),
+                        jnp.float32),
+        p_att=jnp.asarray(rng_np.randn(S, cfg.obj_num, cfg.att_hid_size),
+                          jnp.float32),
+        mask=jnp.asarray((rng_np.rand(S, cfg.obj_num) > 0.3).astype("f")),
+        fc_ih=jnp.asarray(rng_np.randn(S, 4 * cfg.rnn_size), jnp.float32))
+    ecfg_one = EvalConfig(beam_size=3, beam_chunk=0)
+    ecfg_chunk = EvalConfig(beam_size=3, beam_chunk=4)   # 10 -> 3 chunks of 4
+    a = beam.beam_search(params, feats, cfg, ecfg_one)
+    b = beam.beam_search(params, feats, cfg, ecfg_chunk)
+    np.testing.assert_array_equal(np.asarray(a.seq), np.asarray(b.seq))
+    np.testing.assert_allclose(np.asarray(a.all_ps), np.asarray(b.all_ps),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.all_seqs),
+                                  np.asarray(b.all_seqs))
