@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--rel_name_path", type=str, default=None)
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="matmul compute dtype (params/optimizer stay f32); "
+                        "bfloat16 measures +31%% step throughput at batch 64 "
+                        "(docs/PERF.md)")
     p.add_argument("--seed", type=int, default=2019)
     return p.parse_args(argv)
 
@@ -88,6 +93,8 @@ def main(argv=None):
         if getattr(args, k) is not None:
             overrides["data"][k] = getattr(args, k)
 
+    if args.compute_dtype is not None:
+        overrides["model"]["compute_dtype"] = args.compute_dtype
     mcfg, tcfg, dcfg = build_configs(args.model_type, mode="train", **overrides)
     loader = TrainLoader(mcfg, tcfg, dcfg, seed=args.seed)
     mcfg = mcfg.replace(vocab_size=loader.vocab_size,

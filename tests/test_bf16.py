@@ -50,3 +50,42 @@ def test_bf16_encode_decode_close_to_f32(tiny_cfg, rng_np):
     assert agree_g > 0.8, f"bf16-gates token agreement only {agree_g:.2f}"
     gr = greedy.sample(params, enc16g.feats, cfg16g, ecfg)
     assert np.asarray(gr.seq).shape[1] == cfg16g.seq_length
+
+
+def test_bf16_training_loss_decreases(tmp_path):
+    """bf16 compute in the train step (f32 params/optimizer) still learns."""
+    from subgc_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from subgc_tpu.data.dataset import TrainLoader
+    from subgc_tpu.data.synthetic import generate_dataset
+    from subgc_tpu.train.optim import build_optimizer
+    from subgc_tpu.train.step import init_train_state, make_train_step
+
+    man = generate_dataset(str(tmp_path / "d"), n_images=8, seed=3,
+                           vocab_size=20, learnable=True)
+    mcfg = ModelConfig(vocab_size=man["vocab_size"], rnn_size=32,
+                       input_encoding_size=24, att_hid_size=16, gcn_dim=16,
+                       fc_feat_size=24, att_feat_size=man["feat_dim"],
+                       embed_dim=12, num_obj_classes=man["n_obj_classes"],
+                       num_rel_classes=man["n_rel_classes"],
+                       compute_dtype="bfloat16")
+    dcfg = DataConfig(input_json=man["input_json"],
+                      input_label_h5=man["input_label_h5"],
+                      sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+    tcfg = TrainConfig(batch_size=4, warmup_n=10, learning_rate=2e-3)
+    loader = TrainLoader(mcfg, tcfg, dcfg)
+    params, mstate = init_params(jax.random.PRNGKey(0), mcfg,
+                                 n_obj_names=mcfg.num_obj_classes,
+                                 n_pred_names=mcfg.num_rel_classes)
+    optimizer = build_optimizer(tcfg)
+    ts = init_train_state(params, mstate, optimizer)
+    step = make_train_step(mcfg, tcfg, optimizer)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(40):
+        batch, _, _ = loader.get_batch("train")
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        rng, r = jax.random.split(rng)
+        ts, m = step(ts, batch, r, jnp.zeros((), jnp.int32), jnp.zeros(()))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < losses[0] - 0.3, losses[::8]

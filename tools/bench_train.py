@@ -29,7 +29,8 @@ def main():
     from subgc_tpu.graph import SceneGraph
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    cfg = ModelConfig(vocab_size=9487)
+    cfg = ModelConfig(vocab_size=9487,
+                      compute_dtype=os.environ.get("BENCH_DTYPE", "float32"))
     tcfg = TrainConfig(batch_size=B)
     params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                  n_obj_names=1599, n_pred_names=21)
