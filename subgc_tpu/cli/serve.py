@@ -172,6 +172,12 @@ def main(argv=None):
     p.add_argument("--microbatch_wait_ms", type=float, default=3.0,
                    help="how long a dispatch waits for more requests to "
                         "coalesce before running under-full")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "
+                        "streams) is the fastest deployment config "
+                        "(docs/PERF.md), float32 restores bitwise-parity "
+                        "decode")
     args = p.parse_args(argv)
 
     import jax
@@ -185,6 +191,8 @@ def main(argv=None):
     mcfg, ecfg, _ = build_configs(args.model_type, mode="test")
     infos = json.load(open(f"{args.checkpoint_path}/infos.json"))
     mcfg = config_from_json(ModelConfig, infos["model_config"])
+    mcfg = mcfg.replace(compute_dtype=args.compute_dtype,
+                        bf16_lstm_gates=args.compute_dtype == "bfloat16")
     ecfg = ecfg.replace(max_subgraph_bucket=args.bucket)
     if args.beam_size:
         ecfg = ecfg.replace(beam_size=args.beam_size)
