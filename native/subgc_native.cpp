@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <random>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -403,6 +404,118 @@ int subgc_mutual_bleu4(const char* sents, double* out) {
     double ratio = ((double)testlen + tiny) / ((double)reflen + small);
     if (ratio < 1.0) result *= std::exp(1.0 - 1.0 / ratio);
     out[i] = result;
+  }
+  return 0;
+}
+
+// Weighted positive/negative sub-graph sampler (the train input path's hot
+// loop — 61% of get_batch time in python; semantics of
+// dataloaders/dataloader.py:229-266 via subgc_tpu/data/dataset.py
+// ::sample_pos_neg).  Distribution-parity, not numpy-stream-parity: draws
+// come from a std::mt19937_64 seeded by the caller (the loader burns one
+// numpy draw per image for the seed, keeping runs deterministic by seed).
+//
+// node_iou: [spi, total_cols] row-major; the first 5 columns are the GT
+// sub-graphs.  out: [spi, half, 2] indices into the full mask list.
+int subgc_sample_pos_neg(const float* node_iou, int spi, int total_cols,
+                         double thres, int half, unsigned long long seed,
+                         long long* out) {
+  const int S = total_cols - 5;
+  if (S <= 0 || spi <= 0 || half <= 0) return 1;
+  std::mt19937_64 gen(seed);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  auto iou = [&](int i, int j) { return node_iou[i * total_cols + 5 + j]; };
+
+  std::vector<char> pos(spi * S), neg(spi * S);
+  std::vector<char> any_pos_col(S, 0);
+  for (int i = 0; i < spi; i++)
+    for (int j = 0; j < S; j++) {
+      bool p = iou(i, j) >= thres;
+      pos[i * S + j] = p;
+      neg[i * S + j] = !p;
+      if (p) any_pos_col[j] = 1;
+    }
+  // "impure" positives can't be negatives for any sentence
+  for (int i = 0; i < spi; i++)
+    for (int j = 0; j < S; j++)
+      if (any_pos_col[j]) neg[i * S + j] = 0;
+
+  std::vector<double> colsum(S, 0.0);
+  for (int j = 0; j < S; j++)
+    for (int i = 0; i < spi; i++) colsum[j] += pos[i * S + j];
+  std::vector<double> w(spi * S), rowsum(spi, 0.0);
+  for (int i = 0; i < spi; i++)
+    for (int j = 0; j < S; j++) {
+      w[i * S + j] = pos[i * S + j] / (colsum[j] + 1e-7);
+      rowsum[i] += w[i * S + j];
+    }
+
+  auto draw_weighted = [&](const std::vector<int>& idx,
+                           const std::vector<double>& p) {
+    // inverse-CDF draw (p sums to ~1 after the remainder-absorb trick)
+    double u = uni(gen), c = 0.0;
+    for (size_t k = 0; k < idx.size(); k++) {
+      c += p[k];
+      if (u < c) return idx[k];
+    }
+    return idx.back();
+  };
+  auto draw_uniform = [&](const std::vector<int>& idx) {
+    return idx[(size_t)(uni(gen) * idx.size()) % idx.size()];
+  };
+
+  for (int i = 0; i < spi; i++) {
+    std::vector<int> pos_idx, neg_idx;
+    for (int j = 0; j < S; j++) {
+      if (pos[i * S + j]) pos_idx.push_back(j);
+      if (neg[i * S + j]) neg_idx.push_back(j);
+    }
+    // positives
+    long long* row = out + (size_t)i * half * 2;
+    if ((int)pos_idx.size() < half) {
+      int to_pad = half - (int)pos_idx.size();
+      for (int k = 0; k < to_pad; k++) row[k * 2 + 0] = i - 5;
+      for (int k = 0; k < (int)pos_idx.size(); k++)
+        row[(to_pad + k) * 2 + 0] = pos_idx[k];
+    } else {
+      std::vector<double> pw(pos_idx.size());
+      double sum = 0.0;
+      for (size_t k = 0; k < pos_idx.size(); k++) {
+        pw[k] = w[i * S + pos_idx[k]] / (rowsum[i] + 1e-7);
+        sum += pw[k];
+      }
+      // remainder-absorb: one random slot takes 1 - (sum of the others)
+      size_t rd = (size_t)(uni(gen) * pw.size()) % pw.size();
+      pw[rd] = 1.0 - (sum - pw[rd]);
+      for (int k = 0; k < half; k++)
+        row[k * 2 + 0] = draw_weighted(pos_idx, pw);
+    }
+    // negatives
+    if ((int)neg_idx.size() < half) {
+      std::vector<int> tmp_neg, any_idx;
+      for (int j = 0; j < S; j++) {
+        if (iou(i, j) <= thres) tmp_neg.push_back(j);
+        if (iou(i, j) <= 1.0) any_idx.push_back(j);
+      }
+      const std::vector<int>& src =
+          tmp_neg.empty() ? any_idx
+                          : (neg_idx.empty() ? tmp_neg : neg_idx);
+      if (src.empty()) return 2;
+      for (int k = 0; k < half; k++) row[k * 2 + 1] = draw_uniform(src);
+    } else {
+      // without replacement: partial Fisher-Yates
+      std::vector<int> pool(neg_idx);
+      for (int k = 0; k < half; k++) {
+        size_t r = k + (size_t)(uni(gen) * (pool.size() - k)) %
+                           (pool.size() - k);
+        std::swap(pool[k], pool[r]);
+        row[k * 2 + 1] = pool[k];
+      }
+    }
+    for (int k = 0; k < half; k++) {
+      row[k * 2 + 0] += 5;
+      row[k * 2 + 1] += 5;
+    }
   }
   return 0;
 }

@@ -42,6 +42,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.subgc_mutual_bleu4.restype = ctypes.c_int
         lib.subgc_mutual_bleu4.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double)]
+        lib.subgc_sample_pos_neg.restype = ctypes.c_int
+        lib.subgc_sample_pos_neg.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_ulonglong,
+            ctypes.POINTER(ctypes.c_longlong)]
         _lib = lib
     except Exception as e:
         print(f"subgc_native unavailable ({e}); using python fallbacks")
@@ -108,4 +113,27 @@ def mutual_bleu4(sentences: Sequence[str]) -> np.ndarray:
                                 out.ctypes.data_as(
                                     ctypes.POINTER(ctypes.c_double)))
     assert rc == 0
+    return out
+
+
+def sample_pos_neg_native(node_iou_mtx: np.ndarray, thres: float, half: int,
+                          seq_per_img: int, seed: int):
+    """C++ weighted pos/neg sub-graph sampler (the train input hot loop —
+    61% of get_batch time in python).  Same branching/weights as
+    data.dataset.sample_pos_neg; distribution-parity, not numpy-stream-
+    parity (draws come from a mt19937_64 seeded by ``seed``).  Returns
+    [seq_per_img, half, 2] int64 indices, or None if the library is
+    unavailable (caller falls back to python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(node_iou_mtx[:seq_per_img], np.float32)
+    out = np.empty((seq_per_img, half, 2), np.int64)
+    rc = lib.subgc_sample_pos_neg(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        seq_per_img, m.shape[1], float(thres), half,
+        ctypes.c_ulonglong(int(seed) & 0xFFFFFFFFFFFFFFFF),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    if rc != 0:
+        return None
     return out
