@@ -54,10 +54,12 @@ def main(argv=None):
             allow_pickle=True)
     print(f"wrote {out_path}")
 
+    scores = None
     if args.gts:
         gts = {int(k): v for k, v in json.load(open(args.gts)).items()}
         aligned = [{"image_id": i, "caption": [c]} for i, c in top1.items()]
-        language_eval(gts, aligned)
+        scores = language_eval(gts, aligned)
+    return {"rerank_ind_path": out_path, "scores": scores}
     return rerank_ind
 
 

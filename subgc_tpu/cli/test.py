@@ -149,7 +149,7 @@ def main(argv=None):
         preds, wall, n_caps = run_test_split(
             params, state, loader, mcfg, ecfg, loader.vocab,
             split=args.split, num_images=args.num_images,
-            batch_images=args.batch_images)
+            batch_images=args.batch_images, collect_grounding=collector)
         path = save_predictions(preds, args.checkpoint_path, iter_tag,
                                 sct=ecfg.sct)
         print(f"decoded {n_caps} captions for {len(preds)} images in "
@@ -164,6 +164,7 @@ def main(argv=None):
         preds = np.load(path, allow_pickle=True).tolist()
         print(f"loaded {len(preds)} predictions from {path}")
 
+    scores = None
     if args.language_eval or ecfg.only_sent_eval:
         if args.annotations_json:
             gts = {int(k): v for k, v in
@@ -179,6 +180,7 @@ def main(argv=None):
                            f"all_scores_{iter_tag}_{ecfg.oracle_num}-subgraph.npy")
         np.save(out, np.asarray(scores, dtype=object), allow_pickle=True)
         print(f"scores -> {out}")
+    return {"captions_path": path, "scores": scores, "iter_tag": iter_tag}
 
 
 if __name__ == "__main__":
