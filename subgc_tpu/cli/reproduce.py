@@ -82,12 +82,31 @@ def run_model(model_type: str, mconf: dict, manifest: dict) -> dict:
                               "--iter_tag", tag] + _data_flags(data)
                              + extra + list(more))
 
+    def _clear_rerank_ind():
+        # a stale consensus_rerank_ind.npy (from an earlier rerank stage or
+        # a previous run on this checkpoint) would silently turn the sGPN
+        # grounding pass into rerank-aware numbers — test.py auto-loads it
+        rr = os.path.join(ckpt, "consensus_rerank_ind.npy")
+        if os.path.exists(rr):
+            os.remove(rr)
+
+    # failure/skip messages must land under the same keys the summary
+    # consumers read for success
+    RESULT_KEY = {"test": "test", "test_sct": "test",
+                  "language_eval": "language_eval", "diversity": "diversity",
+                  "rerank": "rerank", "grounding": "grounding_sgpn",
+                  "rerank_grounding": "grounding_rerank",
+                  "controllability": "controllability"}
+
     for stage in _stages_for(model_type):
+        key = RESULT_KEY[stage]
         try:
             if stage == "test":
+                _clear_rerank_ind()
                 result["test"] = {"captions_path": _test()["captions_path"]}
 
             elif stage == "test_sct":
+                _clear_rerank_ind()
                 cfg = manifest.get("controllability", {})
                 more = []
                 if cfg.get("sct_dict"):
@@ -126,7 +145,7 @@ def run_model(model_type: str, mconf: dict, manifest: dict) -> dict:
             elif stage == "grounding":
                 cfg = manifest.get("grounding")
                 if not cfg:
-                    result["grounding"] = "skipped: no grounding refs"
+                    result[key] = "skipped: no grounding refs"
                     continue
                 argv = ["--reference", cfg["reference"],
                         "--submission", os.path.join(ckpt,
@@ -142,7 +161,7 @@ def run_model(model_type: str, mconf: dict, manifest: dict) -> dict:
                 # picks the reranked best sentence (eval_utils.py:52-54)
                 rcfg, gcfg = manifest.get("rerank"), manifest.get("grounding")
                 if not (rcfg and gcfg):
-                    result["grounding_rerank"] = "skipped: needs rerank+grounding data"
+                    result[key] = "skipped: needs rerank+grounding data"
                     continue
                 rr_cli.main(["--input_file", result["test"]["captions_path"],
                              "--train_annos", rcfg["train_annos"],
@@ -167,7 +186,7 @@ def run_model(model_type: str, mconf: dict, manifest: dict) -> dict:
                      "--gt_captions", cfg["gt_captions"],
                      "--noun_glove", cfg["noun_glove"]])
         except Exception as e:  # record and continue with other stages
-            result[stage] = f"FAILED: {type(e).__name__}: {e}"
+            result[key] = f"FAILED: {type(e).__name__}: {e}"
     return result
 
 

@@ -60,7 +60,6 @@ def main(argv=None):
         aligned = [{"image_id": i, "caption": [c]} for i, c in top1.items()]
         scores = language_eval(gts, aligned)
     return {"rerank_ind_path": out_path, "scores": scores}
-    return rerank_ind
 
 
 if __name__ == "__main__":

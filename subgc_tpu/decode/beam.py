@@ -214,7 +214,10 @@ def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
         lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
     S = feats.fc.shape[0]
     limit = ecfg.beam_chunk
-    align = 1 if cfg.cdtype == jnp.float32 else 128
+    # bf16 alignment only pays off at scale: padding S=8 up to 128 would
+    # multiply the decode work to dodge an ~18% tiling penalty that was
+    # measured at S in the hundreds — skip alignment for small batches
+    align = 128 if (cfg.cdtype != jnp.float32 and S >= 256) else 1
     if align != 1 and limit > 0:
         # bf16's slow tiling starts by S=1024 already (960-pad-to-1024 was
         # measured slower than unpadded 960); 512-row chunks measured fastest

@@ -47,7 +47,8 @@ def _prepare_sentence_feats(params, state, batch: TrainBatch,
         fc_feats = subgc._full_graph_readout(params, read_out)
         att_masks = jnp.zeros((att_feats.shape[0], cfg.obj_num),
                               jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
-    return D.prepare_features(params, fc_feats, att_feats, att_masks, cfg)
+    return D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
+                              bn_state=state.get("att_bn"))
 
 
 def make_sample_fn(cfg: ModelConfig):

@@ -26,11 +26,12 @@ from subgc_tpu.train.step import init_train_state, make_train_step
 from subgc_tpu.utils.text import decode_sequence
 
 
-def _eval_cider(params, state, mcfg, dcfg):
+def _eval_cider(params, state, mcfg, dcfg, gpn_max_subg=2, batch_images=6):
     ev = EvalLoader(mcfg, dcfg, bucket=16)
-    ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75, gpn_max_subg=2)
+    ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75,
+                      gpn_max_subg=gpn_max_subg)
     preds, _, _ = run_test_split(params, state, ev, mcfg, ecfg, ev.vocab,
-                                 verbose=False, batch_images=6)
+                                 verbose=False, batch_images=batch_images)
     gts, res = {}, {}
     for pr in preds:
         pos = [i for i, img in enumerate(ev.ds.images)
@@ -105,24 +106,7 @@ def test_training_improves_cider(tmp_path):
     step = make_train_step(mcfg, tcfg, optimizer)
 
     def eval_cider(p, s):
-        ev_loader = EvalLoader(mcfg, dcfg, bucket=16)
-        ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75, gpn_max_subg=3)
-        preds, _, _ = run_test_split(p, s, ev_loader, mcfg, ecfg,
-                                     ev_loader.vocab, verbose=False,
-                                     batch_images=4)
-        gts, res = {}, {}
-        for pr in preds:
-            pos = [i for i, img in enumerate(ev_loader.ds.images)
-                   if img["id"] == pr["image_id"]][0]
-            refs = decode_sequence(ev_loader.vocab,
-                                   ev_loader.ds.captions_for(pos),
-                                   remove_bad_endings=False)
-            gts[pr["image_id"]] = tokenize(
-                {0: [{"caption": c} for c in refs]})[0]
-            res[pr["image_id"]] = tokenize(
-                {0: [{"caption": pr["caption"][0] or "a"}]})[0]
-        mean, _ = compute_cider(gts, res)
-        return mean
+        return _eval_cider(p, s, mcfg, dcfg, gpn_max_subg=3, batch_images=4)
 
     before = eval_cider(ts.params, ts.model_state)
     rng = jax.random.PRNGKey(1)
