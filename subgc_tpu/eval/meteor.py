@@ -124,19 +124,72 @@ def _align_greedy(keys, rkeys, n_hyp: int, n_ref: int,
     return sorted(matches)
 
 
+_BEAM_WIDTH = 16
+
+
+def _align_beam(keys, rkeys, n_hyp: int,
+                n_ref: int) -> List[Tuple[int, int, int]]:
+    """Beam search over match assignments: maximize matches, then minimize
+    chunks, then prefer earlier (exact) stages — the jar's criterion.
+
+    State per partial alignment after hyp position i: (last matched (i, j),
+    used-ref bitmask) -> (matches, chunks, stage_sum, match tuple).  Beam
+    width 16 is exhaustive in practice for <=20-word captions.
+    """
+    stage_of = {}
+    for i in range(n_hyp):
+        for j in range(n_ref):
+            for s in range(len(keys)):
+                if keys[s][i] == rkeys[s][j]:
+                    stage_of[(i, j)] = s
+                    break
+    if not stage_of:
+        return []
+
+    beams = {(-2, -2, 0): (0, 0, 0, ())}
+    for i in range(n_hyp):
+        nxt = {}
+
+        def push(key, val):
+            old = nxt.get(key)
+            # better = more matches, then fewer chunks, then lower stage sum
+            if old is None or (-val[0], val[1], val[2]) < \
+                    (-old[0], old[1], old[2]):
+                nxt[key] = val
+
+        for (li, lj, used), (m, ch, ss, ms) in beams.items():
+            push((li, lj, used), (m, ch, ss, ms))      # leave hyp[i] unmatched
+            for j in range(n_ref):
+                if used >> j & 1:
+                    continue
+                s = stage_of.get((i, j))
+                if s is None:
+                    continue
+                ch2 = ch if (li == i - 1 and lj == j - 1) else ch + 1
+                push((i, j, used | 1 << j),
+                     (m + 1, ch2, ss + s, ms + ((i, j, s),)))
+        beams = dict(sorted(nxt.items(),
+                            key=lambda kv: (-kv[1][0], kv[1][1], kv[1][2])
+                            )[:_BEAM_WIDTH])
+    best = min(beams.values(), key=lambda v: (-v[0], v[1], v[2]))
+    return list(best[3])
+
+
 def _align(hyp: List[str], ref: List[str],
            n_stages: int = 3) -> List[Tuple[int, int, int]]:
     """Stage-wise alignment.  Returns [(hyp_i, ref_j, stage)].
 
     The METEOR jar resolves alignment ties by (most matches, fewest chunks)
-    via beam search; here several greedy candidate alignments are computed
-    and the winner is picked by the same criterion.
-    """
+    via beam search; this mirrors that with a beam over match assignments,
+    with the two greedy passes kept as additional candidates (the beam's
+    prune is heuristic; the portfolio winner is picked by the same
+    criterion)."""
     keys = [hyp, [porter_stem(w) for w in hyp], [_syn_key(w) for w in hyp]]
     rkeys = [ref, [porter_stem(w) for w in ref], [_syn_key(w) for w in ref]]
     keys, rkeys = keys[:n_stages], rkeys[:n_stages]
     cands = [_align_greedy(keys, rkeys, len(hyp), len(ref), policy)
              for policy in (0, 1)]
+    cands.append(_align_beam(keys, rkeys, len(hyp), len(ref)))
     return min(cands, key=lambda m: (-len(m), _chunks(m)))
 
 

@@ -110,15 +110,17 @@ def test_meteor_oracle_bounds(corpus):
 
     matched = np.asarray(corpus["meteor_matched"])
     d = np.abs(matched - oracle)
-    # measured at generation: r=0.9886, mean|d|=0.0087, 215/250 exact,
-    # ours>=nltk on 240/250 (our alignment minimizes chunks like the jar;
-    # nltk's first-occurrence greedy is suboptimal on the rest)
-    assert np.corrcoef(matched, oracle)[0, 1] >= 0.98
-    assert d.mean() <= 0.012
-    assert (d < 1e-9).sum() >= 200
+    # measured at generation (beam alignment): r=0.9932, mean|d|=0.0060,
+    # 225/250 exact, and ours >= nltk on ALL 250 — every disagreement is
+    # nltk's first-occurrence greedy finding more chunks than our
+    # (max-matches, min-chunks) beam, i.e. ours is jar-closer
+    assert np.corrcoef(matched, oracle)[0, 1] >= 0.99
+    assert d.mean() <= 0.008
+    assert (d < 1e-9).sum() >= 215
+    assert (matched >= oracle - 1e-9).all()
 
     shipped = np.asarray(corpus["meteor_ours"])
     # shipped config adds METEOR-1.5 stage weights + the synonym stage;
-    # measured r=0.9600, mean|d|=0.0317
+    # measured r=0.9655, mean|d|=0.0290
     assert np.corrcoef(shipped, oracle)[0, 1] >= 0.95
-    assert np.abs(shipped - oracle).mean() <= 0.04
+    assert np.abs(shipped - oracle).mean() <= 0.035
