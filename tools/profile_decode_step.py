@@ -31,7 +31,9 @@ def main():
     T = 17
     cfg = ModelConfig(vocab_size=9487,
                       compute_dtype=os.environ.get("PROFILE_DTYPE",
-                                                   "float32"))
+                                                   "float32"),
+                      bf16_lstm_gates=os.environ.get("PROFILE_BF16_GATES")
+                      == "1")
     V1 = cfg.vocab_size + 1
     params, _ = init_params(jax.random.PRNGKey(0), cfg,
                             n_obj_names=1599, n_pred_names=21)
