@@ -9,17 +9,22 @@ relation, object) triples — and F1 the candidate set against the union of
 the reference sets.
 
 The parser is a rule-based chunker tuned to caption English ("a man riding a
-horse on the beach"): determiners drop, prepositions/gerunds/copulas pivot
-relations, pre-nominal non-relation words attach as attributes.  DIVERGENCE
-from SPICE-the-jar: no dependency parse and no WordNet synset matching —
-scores correlate with SPICE but are not identical (documented; the reference
-as shipped cannot run SPICE either without external downloads).
+horse on the beach"): determiners drop, prepositions/gerunds pivot
+relations, copulas predicate attributes onto the preceding head ("the car
+is red" -> (car, red)), pre-nominal non-relation words attach as
+attributes, and all tuple words are lemma-normalized (the jar lemmatizes
+its scene-graph tuples, so "two cars" matches "a car").  DIVERGENCE from
+SPICE-the-jar: no dependency parse and no WordNet synset matching — scores
+correlate with SPICE but are not identical (documented; the reference as
+shipped cannot run SPICE either without external downloads).
 """
 from __future__ import annotations
 
 from typing import Dict, List, Set, Tuple
 
 import numpy as np
+
+from ..utils.lemma import lemmatize
 
 DETERMINERS = set("a an the this that these those his her its their some any "
                   "every each no one two three four five several many".split())
@@ -28,44 +33,80 @@ PREPOSITIONS = set("in on at by with of to from near under over behind above "
                    "beside between through across against along around into "
                    "onto up down inside outside next".split())
 CONJ = set("and or while".split())
+_BE = "__be__"
 
 
 def _is_relation_word(w: str) -> bool:
     return w in PREPOSITIONS or w.endswith("ing")
 
 
+def _rel_lemma(w: str) -> str:
+    return lemmatize(w) if w.endswith("ing") else w
+
+
 def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
-    """Caption -> set of semantic tuples."""
+    """Caption -> set of lemmatized semantic tuples."""
     words = [w for w in caption.split() if w and w not in DETERMINERS]
-    # segment into noun-phrase chunks separated by relation words
-    tuples: Set[Tuple[str, ...]] = set()
+    # segment into noun-phrase chunks separated by relation/copula pivots
     chunks: List[List[str]] = [[]]
     pivots: List[str] = []
     for w in words:
-        if w in COPULAS or w in CONJ:
+        if w in CONJ:
             continue
-        if _is_relation_word(w) and chunks[-1]:
-            pivots.append(w)
-            chunks.append([])
-        else:
-            chunks[-1].append(w)
+        if w in COPULAS:
+            if chunks[-1]:
+                pivots.append(_BE)
+                chunks.append([])
+            continue
+        if _is_relation_word(w):
+            if chunks[-1]:
+                pivots.append(w)
+                chunks.append([])
+                continue
+            if pivots and pivots[-1] == _BE:
+                # "man is wearing hat": the copula introduces a relation,
+                # not a predicate chunk — the relation takes the pivot slot
+                pivots[-1] = w
+                continue
+        chunks[-1].append(w)
 
-    heads = []
-    for chunk in chunks:
-        if not chunk:
+    # predicate chunks ("is red") fold into the preceding chunk's head
+    n = len(chunks)
+    owner = list(range(n))
+    is_pred = [False] * n
+    for i, piv in enumerate(pivots):
+        if piv == _BE and i + 1 < n:
+            owner[i + 1] = owner[i]
+            is_pred[i + 1] = True
+
+    tuples: Set[Tuple[str, ...]] = set()
+    heads: List[str] = []
+    for idx, chunk in enumerate(chunks):
+        if not chunk or is_pred[idx]:
             heads.append(None)
             continue
-        head = chunk[-1]
+        lemmas = [lemmatize(w) for w in chunk]
+        head = lemmas[-1]
         heads.append(head)
         tuples.add((head,))
-        for attr in chunk[:-1]:
+        for attr in lemmas[:-1]:
             tuples.add((head, attr))
 
+    def eff_head(i):
+        return heads[owner[i]]
+
+    for idx, chunk in enumerate(chunks):
+        if is_pred[idx] and chunk and eff_head(idx):
+            for w in chunk:
+                tuples.add((eff_head(idx), lemmatize(w)))
+
     for i, rel in enumerate(pivots):
-        if i < len(heads) - 1 and heads[i] and heads[i + 1]:
-            tuples.add((heads[i], rel, heads[i + 1]))
-        elif heads[i]:          # dangling relation acts as attribute-ish
-            tuples.add((heads[i], rel))
+        if rel == _BE:
+            continue
+        if i < n - 1 and eff_head(i) and eff_head(i + 1):
+            tuples.add((eff_head(i), _rel_lemma(rel), eff_head(i + 1)))
+        elif eff_head(i):       # dangling relation acts as attribute-ish
+            tuples.add((eff_head(i), _rel_lemma(rel)))
     return tuples
 
 

@@ -67,6 +67,14 @@ def test_spice_hand_derived():
     assert spice_sentence("a blue car",
                           ["a red car on the road"])["All"]["f"] == \
         pytest.approx(1 / 3, abs=1e-12)
+    # copula predicates attributes onto the subject head (SPICE semantics)
+    assert parse_tuples("the car is red") == {("car",), ("car", "red")}
+    # lemma normalization: plural/inflected surface forms share tuples
+    assert spice_sentence("two cars on the road",
+                          ["a car on a road"])["All"]["f"] == \
+        pytest.approx(1.0)
+    assert parse_tuples("a man is wearing a hat") == {
+        ("man",), ("hat",), ("man", "wear", "hat")}
 
 
 # ------------------------------------------------------------------- drift
