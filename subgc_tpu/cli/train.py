@@ -61,6 +61,19 @@ def parse_args(argv=None):
                    help="matmul compute dtype (params/optimizer stay f32); "
                         "bfloat16 measures +31%% step throughput at batch 64 "
                         "(docs/PERF.md)")
+    # model-architecture overrides (the reference exposes these on opts.py;
+    # presets remain the defaults)
+    p.add_argument("--use_bn", type=int, default=None, choices=[0, 1, 2],
+                   help="att_embed BatchNorm (opts.py:46-47)")
+    p.add_argument("--gcn_layers", type=int, default=None)
+    p.add_argument("--gcn_residual", type=int, default=None)
+    p.add_argument("--gcn_bn", type=int, default=None)
+    p.add_argument("--gcn_dim", type=int, default=None)
+    p.add_argument("--rnn_size", type=int, default=None)
+    p.add_argument("--att_hid_size", type=int, default=None)
+    p.add_argument("--input_encoding_size", type=int, default=None)
+    p.add_argument("--pred_emb_type", type=int, default=None, choices=[1, 2])
+    p.add_argument("--drop_prob_lm", type=float, default=None)
     p.add_argument("--seed", type=int, default=2019)
     return p.parse_args(argv)
 
@@ -95,6 +108,13 @@ def main(argv=None):
 
     if args.compute_dtype is not None:
         overrides["model"]["compute_dtype"] = args.compute_dtype
+    for k in ["use_bn", "gcn_layers", "gcn_residual", "gcn_dim", "rnn_size",
+              "att_hid_size", "input_encoding_size", "pred_emb_type",
+              "drop_prob_lm"]:
+        if getattr(args, k) is not None:
+            overrides["model"][k] = getattr(args, k)
+    if args.gcn_bn is not None:
+        overrides["model"]["gcn_bn"] = bool(args.gcn_bn)
     mcfg, tcfg, dcfg = build_configs(args.model_type, mode="train", **overrides)
     loader = TrainLoader(mcfg, tcfg, dcfg, seed=args.seed)
     mcfg = mcfg.replace(vocab_size=loader.vocab_size,

@@ -135,3 +135,26 @@ def test_auto_resume(synth, tmp_path):
     # "restart": same command, higher iter target -> resumes at 2, not 0
     train_cli.main(base + ["--max_iters", "3"])
     assert json.load(open(os.path.join(ckpt, "infos.json")))["iter"] == 3
+
+
+def test_train_cli_model_overrides(synth, tmp_path):
+    """Model-architecture flags (reference opts.py surface) reach the
+    checkpointed config — incl. use_bn training end-to-end."""
+    from subgc_tpu.cli import train as train_cli
+    ckpt = str(tmp_path / "bn_run")
+    train_cli.main([
+        "Sub_GC_Kar", "--checkpoint_path", ckpt,
+        "--batch_size", "2", "--max_iters", "1",
+        "--save_checkpoint_every", "1", "--val_images_use", "2",
+        "--use_bn", "2", "--gcn_layers", "1", "--rnn_size", "64",
+        "--input_encoding_size", "48", "--drop_prob_lm", "0.2",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ])
+    infos = json.load(open(os.path.join(ckpt, "infos.json")))
+    mc = json.loads(infos["model_config"])
+    assert mc["use_bn"] == 2 and mc["gcn_layers"] == 1
+    assert mc["rnn_size"] == 64 and mc["drop_prob_lm"] == 0.2
