@@ -34,6 +34,13 @@ def parse_args(argv=None):
     p.add_argument("--oracle_num", type=int, default=1)
     p.add_argument("--return_att", type=int, default=None)
     p.add_argument("--use_topk_sampling", type=int, default=None)
+    p.add_argument("--topk_temp", type=float, default=None)
+    p.add_argument("--the_k", type=int, default=None)
+    p.add_argument("--group_size", type=int, default=None)
+    p.add_argument("--diversity_lambda", type=float, default=None)
+    p.add_argument("--decoding_constraint", type=int, default=None)
+    p.add_argument("--length_penalty", type=str, default=None)
+    p.add_argument("--remove_bad_endings", type=int, default=None)
     p.add_argument("--input_json", type=str, default=None)
     p.add_argument("--input_label_h5", type=str, default=None)
     p.add_argument("--sg_dir", type=str, default=None)
@@ -94,11 +101,15 @@ def main(argv=None):
             print(f"note: checkpoint was trained as {infos['model_type']}, "
                   f"evaluating as {args.model_type}")
     for k in ["beam_size", "gpn_nms_thres", "gpn_max_subg", "return_att",
-              "use_topk_sampling", "oracle_num", "only_sent_eval"]:
+              "use_topk_sampling", "oracle_num", "only_sent_eval",
+              "topk_temp", "the_k", "group_size", "diversity_lambda",
+              "decoding_constraint", "length_penalty",
+              "remove_bad_endings"]:
         v = getattr(args, k)
         if v is not None:
             ecfg = ecfg.replace(**{k: bool(v) if k in ("return_att",
-                                                       "use_topk_sampling")
+                                                       "use_topk_sampling",
+                                                       "remove_bad_endings")
                                    else v})
     for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir",
               "packed_path"]:
