@@ -111,6 +111,11 @@ def main(argv=None):
                                                        "use_topk_sampling",
                                                        "remove_bad_endings")
                                    else v})
+    if ecfg.group_size > 1 and ecfg.beam_size % ecfg.group_size != 0:
+        raise SystemExit(
+            f"--beam_size {ecfg.beam_size} must be divisible by "
+            f"--group_size {ecfg.group_size} (each diverse group runs "
+            f"beam_size/group_size beams)")
     for k in ["input_json", "input_label_h5", "sg_dir", "mask_dir",
               "packed_path"]:
         if getattr(args, k) is not None:

@@ -24,34 +24,48 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
-from ..utils.lemma import lemmatize
+from ..utils.lemma import _KEEP_ING, lemmatize
 
 DETERMINERS = set("a an the this that these those his her its their some any "
                   "every each no one two three four five several many".split())
+# expletive/pronoun subjects carry no scene content ("there is a dog...")
+EXPLETIVES = set("there it they he she we you i".split())
 COPULAS = set("is are was were be been being".split())
 PREPOSITIONS = set("in on at by with of to from near under over behind above "
                    "beside between through across against along around into "
                    "onto up down inside outside next".split())
 CONJ = set("and or while".split())
 _BE = "__be__"
+_NONE = "__none__"
 
 
 def _is_relation_word(w: str) -> bool:
-    return w in PREPOSITIONS or w.endswith("ing")
+    # -ing nouns that are scene objects (building, painting, railing...)
+    # must not pivot relations — reuse the lemmatizer's catalog
+    return w in PREPOSITIONS or (w.endswith("ing") and w not in _KEEP_ING)
 
 
 def _rel_lemma(w: str) -> str:
-    return lemmatize(w) if w.endswith("ing") else w
+    # relation phrases ("looking at") lemmatize word-wise
+    return " ".join(lemmatize(p) if p.endswith("ing") else p
+                    for p in w.split())
 
 
 def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
     """Caption -> set of lemmatized semantic tuples."""
-    words = [w for w in caption.split() if w and w not in DETERMINERS]
+    words = [w for w in caption.split()
+             if w and w not in DETERMINERS and w not in EXPLETIVES]
     # segment into noun-phrase chunks separated by relation/copula pivots
     chunks: List[List[str]] = [[]]
     pivots: List[str] = []
     for w in words:
         if w in CONJ:
+            # a conjunction after a predicate starts a NEW clause ("the car
+            # is red and the bus is blue"): close the predicate chunk so the
+            # next subject is not swallowed as an attribute of the first
+            if pivots and pivots[-1] == _BE and chunks[-1]:
+                pivots.append(_NONE)
+                chunks.append([])
             continue
         if w in COPULAS:
             if chunks[-1]:
@@ -67,6 +81,10 @@ def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
                 # "man is wearing hat": the copula introduces a relation,
                 # not a predicate chunk — the relation takes the pivot slot
                 pivots[-1] = w
+                continue
+            if pivots and pivots[-1] != _NONE:
+                # consecutive relation words form one phrase ("looking at")
+                pivots[-1] = pivots[-1] + " " + w
                 continue
         chunks[-1].append(w)
 
@@ -101,7 +119,7 @@ def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
                 tuples.add((eff_head(idx), lemmatize(w)))
 
     for i, rel in enumerate(pivots):
-        if rel == _BE:
+        if rel == _BE or rel == _NONE:
             continue
         if i < n - 1 and eff_head(i) and eff_head(i + 1):
             tuples.add((eff_head(i), _rel_lemma(rel), eff_head(i + 1)))

@@ -75,6 +75,15 @@ def test_spice_hand_derived():
         pytest.approx(1.0)
     assert parse_tuples("a man is wearing a hat") == {
         ("man",), ("hat",), ("man", "wear", "hat")}
+    # expletive subjects carry no scene content
+    assert parse_tuples("there is a dog on the grass") == {
+        ("dog",), ("grass",), ("dog", "on", "grass")}
+    # conjoined copula clauses keep separate subjects
+    assert parse_tuples("the car is red and the bus is blue") == {
+        ("car",), ("car", "red"), ("bus",), ("bus", "blue")}
+    # -ing nouns are objects, not relations; relation phrases merge
+    assert parse_tuples("a man looking at a painting") == {
+        ("man",), ("painting",), ("man", "look at", "painting")}
 
 
 # ------------------------------------------------------------------- drift
