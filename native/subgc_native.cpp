@@ -415,20 +415,23 @@ int subgc_mutual_bleu4(const char* sents, double* out) {
 // come from a std::mt19937_64 seeded by the caller (the loader burns one
 // numpy draw per image for the seed, keeping runs deterministic by seed).
 //
-// node_iou: [spi, total_cols] row-major; the first 5 columns are the GT
-// sub-graphs.  out: [spi, half, 2] indices into the full mask list.
-int subgc_sample_pos_neg(const float* node_iou, int spi, int total_cols,
-                         double thres, int half, unsigned long long seed,
-                         long long* out) {
+// node_iou: [rows, total_cols] row-major; the first 5 columns are the GT
+// sub-graphs.  Masks/weights are computed over ALL rows (matching
+// sample_pos_neg, whose column sums cover the whole matrix) while output
+// covers the first spi rows only; requires rows >= spi.
+// out: [spi, half, 2] indices into the full mask list.
+int subgc_sample_pos_neg(const float* node_iou, int rows, int spi,
+                         int total_cols, double thres, int half,
+                         unsigned long long seed, long long* out) {
   const int S = total_cols - 5;
-  if (S <= 0 || spi <= 0 || half <= 0) return 1;
+  if (S <= 0 || spi <= 0 || half <= 0 || rows < spi) return 1;
   std::mt19937_64 gen(seed);
   std::uniform_real_distribution<double> uni(0.0, 1.0);
   auto iou = [&](int i, int j) { return node_iou[i * total_cols + 5 + j]; };
 
-  std::vector<char> pos(spi * S), neg(spi * S);
+  std::vector<char> pos(rows * S), neg(rows * S);
   std::vector<char> any_pos_col(S, 0);
-  for (int i = 0; i < spi; i++)
+  for (int i = 0; i < rows; i++)
     for (int j = 0; j < S; j++) {
       bool p = iou(i, j) >= thres;
       pos[i * S + j] = p;
@@ -436,15 +439,15 @@ int subgc_sample_pos_neg(const float* node_iou, int spi, int total_cols,
       if (p) any_pos_col[j] = 1;
     }
   // "impure" positives can't be negatives for any sentence
-  for (int i = 0; i < spi; i++)
+  for (int i = 0; i < rows; i++)
     for (int j = 0; j < S; j++)
       if (any_pos_col[j]) neg[i * S + j] = 0;
 
   std::vector<double> colsum(S, 0.0);
   for (int j = 0; j < S; j++)
-    for (int i = 0; i < spi; i++) colsum[j] += pos[i * S + j];
-  std::vector<double> w(spi * S), rowsum(spi, 0.0);
-  for (int i = 0; i < spi; i++)
+    for (int i = 0; i < rows; i++) colsum[j] += pos[i * S + j];
+  std::vector<double> w(rows * S), rowsum(rows, 0.0);
+  for (int i = 0; i < rows; i++)
     for (int j = 0; j < S; j++) {
       w[i * S + j] = pos[i * S + j] / (colsum[j] + 1e-7);
       rowsum[i] += w[i * S + j];

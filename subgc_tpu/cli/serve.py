@@ -203,8 +203,12 @@ def main(argv=None):
     service = build_service(params, state, mcfg, ecfg, infos["vocab"],
                             args.batch_images, args.microbatch_wait_ms)
     httpd = serve(service, args.host, args.port)
+    parity = ("outputs are NOT bitwise-reproducible vs float32/reference "
+              "checkpoints; --compute_dtype float32 is the parity mode"
+              if args.compute_dtype == "bfloat16" else "reference parity mode")
     print(f"serving {args.model_type} on http://{args.host}:{args.port} "
-          f"(beam {ecfg.beam_size}, bucket {args.bucket})")
+          f"(beam {ecfg.beam_size}, bucket {args.bucket}, "
+          f"compute_dtype={args.compute_dtype} — {parity})")
     httpd.serve_forever()
 
 

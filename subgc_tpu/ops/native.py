@@ -45,7 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.subgc_sample_pos_neg.restype = ctypes.c_int
         lib.subgc_sample_pos_neg.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_int, ctypes.c_ulonglong,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_ulonglong,
             ctypes.POINTER(ctypes.c_longlong)]
         _lib = lib
     except Exception as e:
@@ -127,11 +127,15 @@ def sample_pos_neg_native(node_iou_mtx: np.ndarray, thres: float, half: int,
     lib = _load()
     if lib is None:
         return None
-    m = np.ascontiguousarray(node_iou_mtx[:seq_per_img], np.float32)
+    if node_iou_mtx.ndim != 2 or node_iou_mtx.shape[0] < seq_per_img:
+        return None  # python fallback raises/handles short matrices
+    # Pass ALL rows: the weight column-sums cover the whole matrix in
+    # sample_pos_neg, even when only the first seq_per_img rows are sampled.
+    m = np.ascontiguousarray(node_iou_mtx, np.float32)
     out = np.empty((seq_per_img, half, 2), np.int64)
     rc = lib.subgc_sample_pos_neg(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        seq_per_img, m.shape[1], float(thres), half,
+        m.shape[0], seq_per_img, m.shape[1], float(thres), half,
         ctypes.c_ulonglong(int(seed) & 0xFFFFFFFFFFFFFFFF),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
     if rc != 0:

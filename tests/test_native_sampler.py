@@ -83,6 +83,39 @@ def test_native_sampler_distribution_matches_python():
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_sampler_short_matrix_falls_back():
+    """Fewer stored rows than seq_per_img -> None (python fallback), never
+    an out-of-bounds read (ADVICE r2)."""
+    rng = np.random.RandomState(3)
+    short = _bank(rng)[:SPI - 2]
+    assert native.sample_pos_neg_native(short, THRES, HALF, SPI, seed=0) is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_sampler_extra_rows_affect_weights():
+    """Rows beyond seq_per_img still contribute to the column weight sums,
+    matching sample_pos_neg's full-matrix pos_mask.sum(0) (ADVICE r2)."""
+    rng = np.random.RandomState(5)
+    bank = _bank(rng, n_sub=16)
+    extra = np.concatenate([bank, np.full((2, bank.shape[1]), 0.9,
+                                          np.float32)], axis=0)
+    n_draws = 4000
+    counts_py = np.zeros(extra.shape[1])
+    counts_cc = np.zeros_like(counts_py)
+    py_rng = np.random.RandomState(11)
+    for d in range(n_draws):
+        out = sample_pos_neg(extra, THRES, HALF, SPI, py_rng)
+        for k in range(HALF):
+            counts_py[out[0, k, 0]] += 1
+        out = native.sample_pos_neg_native(extra, THRES, HALF, SPI, seed=d)
+        assert out.shape == (SPI, HALF, 2)
+        for k in range(HALF):
+            counts_cc[out[0, k, 0]] += 1
+    np.testing.assert_allclose(counts_cc / (n_draws * HALF),
+                               counts_py / (n_draws * HALF), atol=0.03)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_loader_native_vs_python_sampler(tmp_path):
     """Both sampler backends produce structurally valid, equal-shaped
     batches through the TrainLoader."""
