@@ -61,6 +61,13 @@ class ModelConfig:
     bf16_lstm_gates: bool = False
     # fused Pallas attention kernel in the decoder (ops/pallas_attention.py)
     use_pallas_attention: bool = False
+    # inference decode optimizations (both exact transformations):
+    # fold relu(embed) @ att_lstm.w_ih[2R:] into a per-vocab gate table —
+    # one row gather replaces a [S, E] @ [E, 4R] matmul per decode step
+    fold_embed_ih: bool = True
+    # beam search: share the [N, R]/[N, H] attention feature streams across
+    # the bdash beams of each sub-graph instead of broadcasting them per beam
+    share_att_beams: bool = True
 
     @property
     def cdtype(self):

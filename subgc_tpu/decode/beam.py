@@ -133,8 +133,14 @@ def _init_group(params, feats_one, bdash, cfg):
     T = cfg.seq_length
     V1 = cfg.vocab_size + 1
     cap = bdash * T
-    feats = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (bdash,) + x.shape), feats_one)
+    if cfg.share_att_beams:
+        # unbatched features: decode_step/attention broadcast over the beam
+        # axis, so the [N, R]/[N, H] streams are read once per sub-graph per
+        # step instead of once per beam (docs/PERF.md round 3)
+        feats = feats_one
+    else:
+        feats = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (bdash,) + x.shape), feats_one)
     state0 = D.init_state(bdash, cfg)
     lp0, state0, _ = D.decode_step(params, state0,
                                    jnp.zeros((bdash,), jnp.int32), feats, cfg)
@@ -210,6 +216,10 @@ def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
       (640/768/896 fast, 704/832/960 slow) — the axis pads up to 128.
     ``beam_chunk=0`` disables both (used by the equivalence test).
     """
+    params = D.cast_decoder_weights(params, cfg)
+    if cfg.fold_embed_ih:
+        # outside the chunk loop: the fold matmul runs once per dispatch
+        params = D.fold_embed_ih(params, cfg)
     fn = lambda p, f: jax.vmap(
         lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
     S = feats.fc.shape[0]

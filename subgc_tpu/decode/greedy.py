@@ -34,6 +34,8 @@ class SampleOut(NamedTuple):
 def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
            ecfg: EvalConfig, rng: Optional[jax.Array] = None) -> SampleOut:
     params = D.cast_decoder_weights(params, cfg)
+    if cfg.fold_embed_ih:
+        params = D.fold_embed_ih(params, cfg)
     S = feats.fc.shape[0]
     T = cfg.seq_length
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)

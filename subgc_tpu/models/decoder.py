@@ -83,6 +83,29 @@ def cast_decoder_weights(params, cfg: ModelConfig):
     return {**params, "decoder": dec}
 
 
+def fold_embed_ih(params, cfg: ModelConfig):
+    """Fold ``relu(embed) @ att_lstm.w_ih[2R:]`` into a per-vocab gate table.
+
+    relu commutes with the row gather, so ``table[tok] ==
+    relu(embed[tok]) @ W`` exactly — the per-step [S, E] @ [E, 4R] matmul
+    (12.3 GFLOP/step at the bench decode shape, ~12% of the step's FLOPs)
+    becomes a row gather.  Inference-only: training applies dropout between
+    relu and the matmul (decode_step ignores the table when train=True).
+    Idempotent; call after :func:`cast_decoder_weights` so the table matches
+    the live path's dtype chain (bf16 gates keep the product in bf16, which
+    is bitwise what storing the f32-accumulated product as bf16 yields).
+    """
+    dec = params["decoder"]
+    if "embed_ih" in dec:
+        return params
+    dt = cfg.cdtype
+    R1 = cfg.rnn_size
+    keep = cfg.bf16_lstm_gates and dt != jnp.float32
+    table = _matmul(jax.nn.relu(dec["embed"].astype(dt)),
+                    dec["att_lstm"]["w_ih"][2 * R1:], dt, keep=keep)
+    return {**params, "decoder": {**dec, "embed_ih": table}}
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0 or rng is None:
         return x
@@ -224,10 +247,19 @@ def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):
 
 
 def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
-    """Additive attention with post-softmax masking (AttModel.py:445-471)."""
+    """Additive attention with post-softmax masking (AttModel.py:445-471).
+
+    Accepts either per-row features (att [S, N, R], h [S, R]) or features
+    SHARED across a leading beam axis (att [N, R], h [B, R]) — the beam
+    search's bdash beams of one sub-graph attend over the same node set, so
+    sharing reads the [N, R]/[N, H] streams once per sub-graph instead of
+    per beam (they dominate the decode step's HBM traffic, docs/PERF.md).
+    The math is identical: broadcasting in the add and a matmul instead of
+    a per-row einsum, same contraction order.
+    """
     dec = params["decoder"]
     dt = cfg.cdtype
-    if cfg.use_pallas_attention:
+    if cfg.use_pallas_attention and feats.att.ndim == 3:
         from ..ops.pallas_attention import fused_attention
         return fused_attention(h, feats.p_att.astype(jnp.float32),
                                feats.att.astype(jnp.float32), feats.mask,
@@ -235,15 +267,20 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
                                dec["alpha_net"]["w"], dec["alpha_net"]["b"])
     att_h = _dense(h, dec["h2att"], dt)                       # [S, H]
     # the broadcast add + tanh runs in p_att's storage dtype so the [S,N,H]
-    # stream stays narrow in bf16 mode (softmax below is f32 regardless)
+    # stream stays narrow in bf16 mode (softmax below is f32 regardless);
+    # shared mode: p_att [N,H] + att_h [B,1,H] broadcasts to [B,N,H]
     dot = jnp.tanh(feats.p_att
                    + att_h[:, None, :].astype(feats.p_att.dtype))
     e = _dense(dot, dec["alpha_net"], dt)[..., 0]             # [S, N]
     w = jax.nn.softmax(e, axis=-1)
     w = w * feats.mask
     w = w / w.sum(-1, keepdims=True)
-    att_res = jnp.einsum("sn,snr->sr", w.astype(dt), feats.att.astype(dt),
-                         preferred_element_type=jnp.float32)
+    if feats.att.ndim == 2:
+        att_res = jnp.einsum("bn,nr->br", w.astype(dt), feats.att.astype(dt),
+                             preferred_element_type=jnp.float32)
+    else:
+        att_res = jnp.einsum("sn,snr->sr", w.astype(dt), feats.att.astype(dt),
+                             preferred_element_type=jnp.float32)
     return att_res, w
 
 
@@ -254,7 +291,6 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     dec = params["decoder"]
     dt = cfg.cdtype
     r_emb, r_out = (jax.random.split(rng) if rng is not None else (None, None))
-    xt = embed_token(params, token, cfg, train, r_emb)
 
     # att-LSTM input [h_lang, fc, xt] as split matmuls: fc's contribution is
     # precomputed (feats.fc_ih), only the step-varying terms run in the scan
@@ -266,8 +302,15 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     if bf16g:
         b_ih_a = b_ih_a.astype(dt)
         fc_ih = fc_ih if fc_ih.dtype == dt else fc_ih.astype(dt)
+    if not train and "embed_ih" in dec:
+        # folded per-vocab gate table (fold_embed_ih): the word embedding's
+        # whole contribution to the att-LSTM gates is one row gather
+        xt_ih = dec["embed_ih"][token]
+    else:
+        xt = embed_token(params, token, cfg, train, r_emb)
+        xt_ih = _matmul(xt, w_ih[2 * R1:], dt, keep=bf16g)
     gx_att = (_matmul(state.h_lang, w_ih[:R1], dt, keep=bf16g) + fc_ih
-              + _matmul(xt, w_ih[2 * R1:], dt, keep=bf16g) + b_ih_a)
+              + xt_ih + b_ih_a)
     h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
                                  state.c_att, dt, bf16g)
 
