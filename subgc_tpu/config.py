@@ -63,11 +63,22 @@ class ModelConfig:
     use_pallas_attention: bool = False
     # inference decode optimizations (both exact transformations):
     # fold relu(embed) @ att_lstm.w_ih[2R:] into a per-vocab gate table —
-    # one row gather replaces a [S, E] @ [E, 4R] matmul per decode step
-    fold_embed_ih: bool = True
+    # one row gather replaces a [S, E] @ [E, 4R] matmul per decode step.
+    # OFF by default: measured SLOWER on v5e (tools/exp_beam_ab.py: 46.2 vs
+    # 44.1 ms at the bench shape — the [rows, 4R] gather loses to the MXU
+    # matmul it replaces); kept as a validated option for gather-friendly
+    # backends
+    fold_embed_ih: bool = False
     # beam search: share the [N, R]/[N, H] attention feature streams across
     # the bdash beams of each sub-graph instead of broadcasting them per beam
     share_att_beams: bool = True
+    # decode: merge each LSTM's input-side and hidden-side matmuls into one
+    # concat matmul ([h_lang|xt|h_att] @ [w_ih[:R];w_ih[2R:];w_hh]) — fewer,
+    # deeper-K MXU dispatches per step; requires merge_lstm_weights (the
+    # decode entry points call it).  Numerics: identical contraction, but in
+    # bf16-gates mode the single f32 accumulation replaces per-matmul bf16
+    # rounding of partial sums (slightly MORE accurate than split)
+    merge_lstm_matmuls: bool = False
 
     @property
     def cdtype(self):

@@ -67,7 +67,7 @@ def _topk_small(x, k: int):
 
 class _GroupState(NamedTuple):
     state: D.DecoderState       # [bdash, ...]
-    lp: jnp.ndarray             # [bdash, V1] next-step logprobs
+    token: jnp.ndarray          # [bdash] last chosen tokens (decode input)
     beam_seq: jnp.ndarray       # [T, bdash]
     beam_lps: jnp.ndarray       # [T, bdash]
     beam_sum: jnp.ndarray       # [bdash]
@@ -78,16 +78,23 @@ class _GroupState(NamedTuple):
 
 def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
                   ecfg: EvalConfig, pen, diversity_tokens=None):
-    """One beam_step for one group at its local time.
+    """One beam_step for one group at its local time: decode from the carried
+    tokens, then expand.  Decode-first keeps the [bdash, V1] logprobs internal
+    to the iteration (they never enter the scan carry) and runs exactly T
+    decode steps per group — the previous expand-then-decode formulation
+    carried the logprobs and spent an extra trailing decode whose output was
+    discarded (~1/(T+1) of decode time, docs/PERF.md round 3).
 
     diversity_tokens: optional [n_prev*bdash] token ids chosen by earlier
     groups at this local time; each occurrence subtracts diversity_lambda.
     """
     bdash = gs.beam_sum.shape[0]
-    V1 = gs.lp.shape[-1]
     T = gs.beam_seq.shape[0]
 
-    logprobsf = gs.lp
+    lp, state, _ = D.decode_step(params, gs.state, gs.token, feats, cfg)
+    V1 = lp.shape[-1]
+
+    logprobsf = lp
     if ecfg.decoding_constraint:
         prev_tok = gs.beam_seq[jnp.maximum(local_t - 1, 0)]       # [bdash]
         constrain = (local_t > 0)
@@ -101,6 +108,10 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
         counts = jax.nn.one_hot(diversity_tokens, V1).sum(0)      # [V1]
         logprobsf = logprobsf - ecfg.diversity_lambda * counts[None, :]
 
+    # flat top-k via bdash argmax passes (_topk_small).  A two-stage
+    # per-beam lax.top_k was tried and measured 10x SLOWER on v5e (470 vs
+    # 44 ms at the bench shape — top_k over the vocab axis lowers to a sort
+    # under this vmap), so the argmax-pass form stays.
     cand = gs.beam_sum[:, None] + logprobsf
     row_ok = (jnp.arange(bdash) < 1) | (local_t > 0)
     cand = jnp.where(row_ok[:, None], cand, -jnp.inf)
@@ -110,7 +121,7 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
 
     new_seq = gs.beam_seq[:, q].at[local_t].set(c)
     new_lps = gs.beam_lps[:, q].at[local_t].set(unaug[q, c])
-    state = jax.tree_util.tree_map(lambda x: x[q], gs.state)
+    state = jax.tree_util.tree_map(lambda x: x[q], state)
     beam_sum = vp
 
     is_done = (c == 0) | (local_t == T - 1)
@@ -123,15 +134,13 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
     done_p = gs.done_p.at[slot].set(jnp.where(is_done, p_done, -jnp.inf))
     beam_sum = jnp.where(is_done, -1000.0, beam_sum)
 
-    lp, state, _ = D.decode_step(params, state, c, feats, cfg)
-    return _GroupState(state=state, lp=lp, beam_seq=new_seq, beam_lps=new_lps,
-                       beam_sum=beam_sum, done_seq=done_seq,
+    return _GroupState(state=state, token=c, beam_seq=new_seq,
+                       beam_lps=new_lps, beam_sum=beam_sum, done_seq=done_seq,
                        done_lps=done_lps, done_p=done_p)
 
 
 def _init_group(params, feats_one, bdash, cfg):
     T = cfg.seq_length
-    V1 = cfg.vocab_size + 1
     cap = bdash * T
     if cfg.share_att_beams:
         # unbatched features: decode_step/attention broadcast over the beam
@@ -141,11 +150,9 @@ def _init_group(params, feats_one, bdash, cfg):
     else:
         feats = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (bdash,) + x.shape), feats_one)
-    state0 = D.init_state(bdash, cfg)
-    lp0, state0, _ = D.decode_step(params, state0,
-                                   jnp.zeros((bdash,), jnp.int32), feats, cfg)
     return feats, _GroupState(
-        state=state0, lp=lp0,
+        state=D.init_state(bdash, cfg),
+        token=jnp.zeros((bdash,), jnp.int32),    # BOS
         beam_seq=jnp.zeros((T, bdash), jnp.int32),
         beam_lps=jnp.zeros((T, bdash), jnp.float32),
         beam_sum=jnp.zeros((bdash,), jnp.float32),
@@ -220,6 +227,8 @@ def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
     if cfg.fold_embed_ih:
         # outside the chunk loop: the fold matmul runs once per dispatch
         params = D.fold_embed_ih(params, cfg)
+    if cfg.merge_lstm_matmuls:
+        params = D.merge_lstm_weights(params, cfg)
     fn = lambda p, f: jax.vmap(
         lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
     S = feats.fc.shape[0]

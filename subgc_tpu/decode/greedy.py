@@ -36,6 +36,8 @@ def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
     params = D.cast_decoder_weights(params, cfg)
     if cfg.fold_embed_ih:
         params = D.fold_embed_ih(params, cfg)
+    if cfg.merge_lstm_matmuls:
+        params = D.merge_lstm_weights(params, cfg)
     S = feats.fc.shape[0]
     T = cfg.seq_length
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -69,8 +71,14 @@ def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
 
     init = (D.init_state(S, cfg), jnp.zeros((S,), jnp.int32),
             jnp.ones((S,), bool), base_rng)
-    _, (seqs, lps, att_ws) = jax.lax.scan(step, init, jnp.arange(T + 1))
+    # the final (T-th) step only contributes its attention weights — it runs
+    # only when the caller captures them (return_att), saving one full decode
+    # step (1/(T+1) of decode time) on the plain greedy/top-k path
+    n_steps = T + 1 if ecfg.return_att else T
+    _, (seqs, lps, att_ws) = jax.lax.scan(step, init, jnp.arange(n_steps))
 
-    # the final (T-th) step only contributes its attention weights
-    return SampleOut(seq=seqs[:T].T, logprobs=lps[:T].T,
-                     att_weights=att_ws.transpose(1, 0, 2))
+    att = att_ws.transpose(1, 0, 2)
+    if not ecfg.return_att:
+        # keep the [S, T+1, N] contract for shape-stable downstream code
+        att = jnp.concatenate([att, att[:, -1:]], axis=1)
+    return SampleOut(seq=seqs[:T].T, logprobs=lps[:T].T, att_weights=att)

@@ -106,6 +106,45 @@ def fold_embed_ih(params, cfg: ModelConfig):
     return {**params, "decoder": {**dec, "embed_ih": table}}
 
 
+def merge_lstm_weights(params, cfg: ModelConfig):
+    """Build merged gate weights for cfg.merge_lstm_matmuls.
+
+    att-LSTM: w_cat = [w_ih[:R]; w_ih[2R:]; w_hh]  (input [h_lang|xt|h_att])
+    lang-LSTM: w_cat = [w_ih; w_hh]                (input [att_res|h_att|h_lang])
+    fc's rows stay out (fc_ih precompute).  Idempotent; call after
+    cast_decoder_weights.  Incompatible with fold_embed_ih (the xt rows are
+    part of the concat) — decode_step prefers the fold table when both exist.
+    """
+    dec = params["decoder"]
+    if "w_cat" in dec["att_lstm"]:
+        return params
+    R1 = cfg.rnn_size
+    att = dict(dec["att_lstm"])
+    att["w_cat"] = jnp.concatenate(
+        [att["w_ih"][:R1], att["w_ih"][2 * R1:], att["w_hh"]], axis=0)
+    lang = dict(dec["lang_lstm"])
+    lang["w_cat"] = jnp.concatenate([lang["w_ih"], lang["w_hh"]], axis=0)
+    return {**params, "decoder": {**dec, "att_lstm": att, "lang_lstm": lang}}
+
+
+def _lstm_nonlin(g, c, dt, bf16_gates=False):
+    """LSTM cell nonlinearity on fully-formed gates g = gx + gh + biases."""
+    i, f, gg, o = jnp.split(g, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    o = jax.nn.sigmoid(o)
+    gg = jnp.tanh(gg)
+    if bf16_gates and dt != jnp.float32:
+        c2 = f.astype(jnp.float32) * c + (i * gg).astype(jnp.float32)
+        h2 = (o.astype(jnp.float32) * jnp.tanh(c2)).astype(dt)
+        return h2, c2
+    c2 = f * c + i * gg
+    h2 = o * jnp.tanh(c2)
+    if dt != jnp.float32:
+        h2 = h2.astype(dt)
+    return h2, c2
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0 or rng is None:
         return x
@@ -302,31 +341,56 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     if bf16g:
         b_ih_a = b_ih_a.astype(dt)
         fc_ih = fc_ih if fc_ih.dtype == dt else fc_ih.astype(dt)
-    if not train and "embed_ih" in dec:
-        # folded per-vocab gate table (fold_embed_ih): the word embedding's
-        # whole contribution to the att-LSTM gates is one row gather
-        xt_ih = dec["embed_ih"][token]
-    else:
+    use_fold = (not train) and ("embed_ih" in dec)
+    use_merge = (cfg.merge_lstm_matmuls and "w_cat" in dec["att_lstm"]
+                 and not use_fold)
+    if use_merge:
+        # one [., 3R] @ [3R, 4R] matmul forms ALL step-varying att gates
         xt = embed_token(params, token, cfg, train, r_emb)
-        xt_ih = _matmul(xt, w_ih[2 * R1:], dt, keep=bf16g)
-    gx_att = (_matmul(state.h_lang, w_ih[:R1], dt, keep=bf16g) + fc_ih
-              + xt_ih + b_ih_a)
-    h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
-                                 state.c_att, dt, bf16g)
+        x_cat = jnp.concatenate(
+            [state.h_lang, xt.astype(state.h_lang.dtype), state.h_att], -1)
+        b_att = dec["att_lstm"]["b_ih"] + dec["att_lstm"]["b_hh"]
+        if bf16g:
+            b_att = b_att.astype(dt)
+        g_att = (_matmul(x_cat, dec["att_lstm"]["w_cat"], dt, keep=bf16g)
+                 + fc_ih + b_att)
+        h_att, c_att = _lstm_nonlin(g_att, state.c_att, dt, bf16g)
+    else:
+        if use_fold:
+            # folded per-vocab gate table (fold_embed_ih): the word
+            # embedding's whole contribution to the att gates is a row gather
+            xt_ih = dec["embed_ih"][token]
+        else:
+            xt = embed_token(params, token, cfg, train, r_emb)
+            xt_ih = _matmul(xt, w_ih[2 * R1:], dt, keep=bf16g)
+        gx_att = (_matmul(state.h_lang, w_ih[:R1], dt, keep=bf16g) + fc_ih
+                  + xt_ih + b_ih_a)
+        h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
+                                     state.c_att, dt, bf16g)
 
     att_res, att_w = attention(params, h_att, feats, cfg)
 
-    # lang-LSTM input [att_res, h_att] as split matmuls (no concat
-    # materialization; h_att stays in its storage dtype)
-    w_ih_l = dec["lang_lstm"]["w_ih"]
-    b_ih_l = dec["lang_lstm"]["b_ih"]
-    if bf16g:
-        b_ih_l = b_ih_l.astype(dt)
-    gx_lang = (_matmul(att_res, w_ih_l[:cfg.rnn_size], dt, keep=bf16g)
-               + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt, keep=bf16g)
-               + b_ih_l)
-    h_lang, c_lang = _lstm_cell_gx(dec["lang_lstm"], gx_lang, state.h_lang,
-                                   state.c_lang, dt, bf16g)
+    if use_merge:
+        x_cat_l = jnp.concatenate(
+            [att_res.astype(h_att.dtype), h_att, state.h_lang], -1)
+        b_lang = dec["lang_lstm"]["b_ih"] + dec["lang_lstm"]["b_hh"]
+        if bf16g:
+            b_lang = b_lang.astype(dt)
+        g_lang = (_matmul(x_cat_l, dec["lang_lstm"]["w_cat"], dt, keep=bf16g)
+                  + b_lang)
+        h_lang, c_lang = _lstm_nonlin(g_lang, state.c_lang, dt, bf16g)
+    else:
+        # lang-LSTM input [att_res, h_att] as split matmuls (no concat
+        # materialization; h_att stays in its storage dtype)
+        w_ih_l = dec["lang_lstm"]["w_ih"]
+        b_ih_l = dec["lang_lstm"]["b_ih"]
+        if bf16g:
+            b_ih_l = b_ih_l.astype(dt)
+        gx_lang = (_matmul(att_res, w_ih_l[:cfg.rnn_size], dt, keep=bf16g)
+                   + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt, keep=bf16g)
+                   + b_ih_l)
+        h_lang, c_lang = _lstm_cell_gx(dec["lang_lstm"], gx_lang, state.h_lang,
+                                       state.c_lang, dt, bf16g)
     out = _dropout(h_lang, cfg.drop_prob_lm, r_out, train)
     logits = _dense(out, dec["logit"], dt)
     logprobs = jax.nn.log_softmax(logits, axis=-1)

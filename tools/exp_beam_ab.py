@@ -37,7 +37,8 @@ def main():
     dtype = os.environ.get("EXP_DTYPE", "bfloat16")
     gates = os.environ.get("EXP_BF16_GATES",
                            "1" if dtype == "bfloat16" else "0") == "1"
-    variants = os.environ.get("EXP_VARIANTS", "00,10,01,11").split(",")
+    # variant string: fold, share, merge (merge optional, default 0)
+    variants = os.environ.get("EXP_VARIANTS", "000,100,010,011").split(",")
 
     base = ModelConfig(vocab_size=9487, compute_dtype=dtype,
                        bf16_lstm_gates=gates)
@@ -59,7 +60,9 @@ def main():
     ref_seq = None
     for v in variants:
         fold, share = v[0] == "1", v[1] == "1"
-        cfg = base.replace(fold_embed_ih=fold, share_att_beams=share)
+        merge = len(v) > 2 and v[2] == "1"
+        cfg = base.replace(fold_embed_ih=fold, share_att_beams=share,
+                           merge_lstm_matmuls=merge)
         fn = jax.jit(lambda p, f, c=cfg: beam.beam_search(p, f, c, ecfg))
         t_c0 = time.time()
         out = fn(params, feats)
@@ -75,7 +78,8 @@ def main():
             out = fn(params, feats)
         jax.block_until_ready(out)
         ms = (time.time() - t0) / reps * 1e3
-        print(f"fold={int(fold)} share={int(share)}: {ms:8.2f} ms "
+        print(f"fold={int(fold)} share={int(share)} merge={int(merge)}: "
+              f"{ms:8.2f} ms "
               f"({S * 1e3 / ms:7.0f} caps/s decode-only; "
               f"token-agree vs first variant {agree:.4f}; "
               f"compile {compile_s:.0f}s)", flush=True)
