@@ -304,6 +304,12 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
                                feats.att.astype(jnp.float32), feats.mask,
                                dec["h2att"]["w"], dec["h2att"]["b"],
                                dec["alpha_net"]["w"], dec["alpha_net"]["b"])
+    if cfg.use_pallas_attention and feats.att.ndim == 2 and h.ndim == 2:
+        from ..ops.pallas_attention import shared_attention_op
+        return shared_attention_op(h, feats.p_att, feats.att, feats.mask,
+                                   dec["h2att"]["w"], dec["h2att"]["b"],
+                                   dec["alpha_net"]["w"],
+                                   dec["alpha_net"]["b"])
     att_h = _dense(h, dec["h2att"], dt)                       # [S, H]
     # the broadcast add + tanh runs in p_att's storage dtype so the [S,N,H]
     # stream stays narrow in bf16 mode (softmax below is f32 regardless);
