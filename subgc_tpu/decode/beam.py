@@ -181,24 +181,42 @@ def _beam_search_one(params, feats_one: D.PreparedFeatures, cfg: ModelConfig,
         return BeamOut(seq=gs.done_seq[top_i[0]], logprobs=gs.done_lps[top_i[0]],
                        all_seqs=gs.done_seq[top_i], all_ps=top_p)
 
-    # diverse beam search: staggered groups, trace-time-unrolled outer loop
-    # (CaptionModel.py:122-171); T + G - 1 outer steps
-    groups = []
-    for _ in range(G):
-        feats, gs = _init_group(params, feats_one, bdash, cfg)
-        groups.append(gs)
-    for t in range(T + G - 1):
+    # diverse beam search: staggered groups (CaptionModel.py:122-171).
+    # One lax.scan over the T+G-1 outer steps replaces the round-1/2
+    # trace-time-unrolled loop — the body traces G expand+decode calls once
+    # instead of (T+G-1)*G times, bounding compile time in T.  Data flow is
+    # identical to the unrolled form: within an outer step groups update in
+    # ascending order, and group g reads the CURRENT (post-update, re-
+    # permuted) beam rows of groups < g at its own local time — exactly the
+    # reference's read.  Inactive (out-of-stagger) groups run a masked
+    # expand whose result is discarded, costing (G-1)*G extra decode steps
+    # per search (~12% for G=3) in exchange for the bounded trace.
+    feats, gs0 = _init_group(params, feats_one, bdash, cfg)
+    stacked0 = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *([gs0] * G))
+
+    def outer_step(stacked, t):
+        new_groups = []
         for g in range(G):
-            if not (g <= t <= T + g - 1):
-                continue
-            local_t = t - g
+            gs = jax.tree_util.tree_map(lambda x, g=g: x[g], stacked)
+            lt = jnp.clip(t - g, 0, T - 1)
             if g > 0:
                 div_toks = jnp.concatenate(
-                    [groups[pg].beam_seq[local_t] for pg in range(g)])
+                    [new_groups[pg].beam_seq[lt] for pg in range(g)])
             else:
                 div_toks = None
-            groups[g] = _expand_group(params, feats, groups[g], local_t, cfg,
-                                      ecfg, pen, diversity_tokens=div_toks)
+            upd = _expand_group(params, feats, gs, lt, cfg, ecfg, pen,
+                                diversity_tokens=div_toks)
+            active = (t >= g) & (t <= T + g - 1)
+            gs2 = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active, n, o), upd, gs)
+            new_groups.append(gs2)
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *new_groups), None
+
+    stacked, _ = jax.lax.scan(outer_step, stacked0, jnp.arange(T + G - 1))
+    groups = [jax.tree_util.tree_map(lambda x, g=g: x[g], stacked)
+              for g in range(G)]
 
     tops = [jax.lax.top_k(gs.done_p, bdash) for gs in groups]
     all_seqs = jnp.concatenate([gs.done_seq[ti]

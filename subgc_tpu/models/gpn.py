@@ -41,14 +41,21 @@ def graph_pooling(gpn_att, att_mask):
     return jnp.concatenate([max_feat, mean_feat], axis=-1)
 
 
-def gpn_score(params, read_out, cfg: ModelConfig, train: bool = False, rng=None):
-    """MLP + sigmoid sub-graph score (gpn.py:50-55)."""
+def gpn_score(params, read_out, cfg: ModelConfig, train: bool = False,
+              rng=None, return_logits: bool = False):
+    """MLP + sigmoid sub-graph score (gpn.py:50-55).
+
+    return_logits=True additionally returns the pre-sigmoid logits so the
+    training loss can use the softplus BCE form (finite gradients when the
+    sigmoid saturates to exactly 0/1 in f32 — see bce_loss)."""
     g = params["gpn"]
     h = jax.nn.relu(_dense(read_out, g["fc1"]))
     if train and rng is not None:
         keep = jax.random.bernoulli(rng, 0.5, h.shape)
         h = jnp.where(keep, h * 2.0, 0.0)
-    return jax.nn.sigmoid(_dense(h, g["fc2"]))[..., 0]
+    logits = _dense(h, g["fc2"])[..., 0]
+    scores = jax.nn.sigmoid(logits)
+    return (scores, logits) if return_logits else scores
 
 
 def readout_project(params, read_out):
@@ -57,10 +64,24 @@ def readout_project(params, read_out):
     return _dense(_dense(read_out, g["readout1"]), g["readout2"])
 
 
-def bce_loss(scores, targets, eps_clamp: float = 100.0):
-    """torch.nn.BCELoss with its log clamp at -100 (gpn.py:33,57)."""
-    log_s = jnp.clip(jnp.log(scores), -eps_clamp)
-    log_1s = jnp.clip(jnp.log1p(-scores), -eps_clamp)
+def bce_loss(scores, targets, eps_clamp: float = 100.0, logits=None):
+    """torch.nn.BCELoss with its log clamp at -100 (gpn.py:33,57).
+
+    When ``logits`` are available the loss is computed in the softplus form
+    (log sigmoid(x) = -softplus(-x)): identical clamped values, but the
+    gradient stays finite when the sigmoid saturates to exactly 0/1 in f32.
+    The score-space form's ``clip(log(s))`` chain multiplies the clip's zero
+    gradient by log's infinite one — 0 * inf = NaN — which killed long
+    synthetic training runs at the point the sGPN became confident
+    (observed: loss -> nan at step ~248, tests/test_learning.py shapes).
+    """
+    if logits is not None:
+        log_s = jnp.clip(-jax.nn.softplus(-logits), -eps_clamp)
+        log_1s = jnp.clip(-jax.nn.softplus(logits), -eps_clamp)
+    else:
+        log_s = jnp.clip(jnp.log(jnp.maximum(scores, 1e-38)), -eps_clamp)
+        log_1s = jnp.clip(jnp.log(jnp.maximum(1.0 - scores, 1e-38)),
+                          -eps_clamp)
     return -(targets * log_s + (1.0 - targets) * log_1s).mean()
 
 
@@ -83,9 +104,10 @@ def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
 
     use_score = not cfg.use_gt_subg
     if use_score:
-        scores = gpn_score(params, read_out, cfg, train, rng)    # [S,2,half]
+        scores, logits = gpn_score(params, read_out, cfg, train, rng,
+                                   return_logits=True)           # [S,2,half]
         targets = jnp.stack([jnp.ones((S, half)), jnp.zeros((S, half))], axis=1)
-        gpn_loss = bce_loss(scores, targets)
+        gpn_loss = bce_loss(scores, targets, logits=logits)
     else:
         scores = jnp.ones((S, two, half), jnp.float32)
         gpn_loss = None

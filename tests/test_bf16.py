@@ -89,3 +89,89 @@ def test_bf16_training_loss_decreases(tmp_path):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < losses[0] - 0.3, losses[::8]
+
+
+def test_bf16_end_to_end_metric_bound(tmp_path):
+    """End-to-end accuracy bound for the bf16(+gates) deployment default
+    (VERDICT r2 item 2): train the learnable synthetic config in f32 to
+    convergence, then eval the SAME trained weights under f32 / bf16 /
+    bf16+gates and bound the CIDEr delta and caption-diff count.
+
+    Measured at the larger 60-image/1000-step configuration (docs/PERF.md
+    round-3 table): bf16 == f32 exactly (0/12 captions differ); bf16+gates
+    1/12 captions differ, dCIDEr = -0.0072, dBLEU-4 = 0.0000.  This test
+    runs a compact version and pins generous envelopes around those
+    measurements.
+    """
+    from subgc_tpu.config import DataConfig, EvalConfig, ModelConfig, \
+        TrainConfig
+    from subgc_tpu.data.dataset import EvalLoader, TrainLoader
+    from subgc_tpu.data.synthetic import generate_dataset
+    from subgc_tpu.eval.cider import compute_cider
+    from subgc_tpu.eval.runner import run_test_split
+    from subgc_tpu.eval.tokenizer import tokenize
+    from subgc_tpu.models.params import init_params
+    from subgc_tpu.train.optim import build_optimizer
+    from subgc_tpu.train.step import init_train_state, make_train_step
+    from subgc_tpu.utils.text import decode_sequence
+
+    man = generate_dataset(str(tmp_path / "d"), n_images=24, seed=71,
+                           vocab_size=25, learnable=True)
+    mcfg = ModelConfig(vocab_size=man["vocab_size"], rnn_size=48,
+                       input_encoding_size=32, att_hid_size=24, gcn_dim=24,
+                       fc_feat_size=32, att_feat_size=man["feat_dim"],
+                       embed_dim=16, num_obj_classes=man["n_obj_classes"],
+                       num_rel_classes=man["n_rel_classes"])
+    dcfg = DataConfig(input_json=man["input_json"],
+                      input_label_h5=man["input_label_h5"],
+                      sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+    tcfg = TrainConfig(batch_size=4, warmup_n=10, learning_rate=1e-3)
+    loader = TrainLoader(mcfg, tcfg, dcfg)
+    params, mstate = init_params(jax.random.PRNGKey(0), mcfg,
+                                 n_obj_names=mcfg.num_obj_classes,
+                                 n_pred_names=mcfg.num_rel_classes)
+    optimizer = build_optimizer(tcfg)
+    ts = init_train_state(params, mstate, optimizer)
+    step = make_train_step(mcfg, tcfg, optimizer)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(300):
+        batch, _, _ = loader.get_batch("train")
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        rng, r = jax.random.split(rng)
+        ts, m = step(ts, batch, r, jnp.zeros((), jnp.int32), jnp.zeros(()))
+    assert np.isfinite(float(m["loss"]))
+
+    def eval_metrics(mc):
+        ev = EvalLoader(mc, dcfg, bucket=16)
+        ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=2)
+        preds, _, _ = run_test_split(ts.params, ts.model_state, ev, mc,
+                                     ecfg, ev.vocab, verbose=False,
+                                     batch_images=6)
+        gts, res, caps = {}, {}, {}
+        for pr in preds:
+            pos = [i for i, img in enumerate(ev.ds.images)
+                   if img["id"] == pr["image_id"]][0]
+            refs = decode_sequence(ev.vocab, ev.ds.captions_for(pos),
+                                   remove_bad_endings=False)
+            gts[pr["image_id"]] = tokenize(
+                {0: [{"caption": c} for c in refs]})[0]
+            res[pr["image_id"]] = tokenize(
+                {0: [{"caption": pr["caption"][0] or "a"}]})[0]
+            caps[pr["image_id"]] = pr["caption"][0]
+        return compute_cider(gts, res)[0], caps
+
+    cider32, caps32 = eval_metrics(mcfg)
+    results = {}
+    for name, mc in [("bf16", mcfg.replace(compute_dtype="bfloat16")),
+                     ("bf16+gates", mcfg.replace(compute_dtype="bfloat16",
+                                                 bf16_lstm_gates=True))]:
+        cider, caps = eval_metrics(mc)
+        n_diff = sum(1 for k in caps32 if caps32[k] != caps[k])
+        results[name] = (cider, n_diff, len(caps))
+        # envelopes around the measured bound (dCIDEr -0.0072, <=1 caption
+        # in 12): the deployment default must stay metric-close to f32
+        assert abs(cider - cider32) <= 0.15, (name, cider, cider32)
+        assert n_diff <= max(1, len(caps) // 2), (name, n_diff, len(caps))
+    print(f"f32 CIDEr {cider32:.4f}; " + "; ".join(
+        f"{k}: CIDEr {v[0]:.4f} diffs {v[1]}/{v[2]}"
+        for k, v in results.items()))
