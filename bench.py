@@ -32,6 +32,92 @@ _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 GPU_EST_FACTOR = 30.0
 
 
+def _bench_train():
+    """BENCH_PRESET=train: the fused train step (fwd+bwd+adam) at production
+    dims — one JSON line in the same schema so the driver can capture the
+    training number alongside the inference presets (VERDICT r2 item 6).
+    Env: BENCH_BATCH (default 64), BENCH_DTYPE (default bfloat16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from subgc_tpu.config import ModelConfig, TrainConfig
+    from subgc_tpu.graph import SceneGraph
+    from subgc_tpu.models.params import init_params
+    from subgc_tpu.train.optim import build_optimizer
+    from subgc_tpu.train.step import (TrainBatch, init_train_state,
+                                      make_train_step)
+    from subgc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype)
+    tcfg = TrainConfig(batch_size=B)
+    params, mstate = init_params(jax.random.PRNGKey(0), cfg,
+                                 n_obj_names=1599, n_pred_names=21)
+    optimizer = build_optimizer(tcfg)
+    ts = init_train_state(params, mstate, optimizer)
+    step = make_train_step(cfg, tcfg, optimizer)
+
+    rng = np.random.RandomState(0)
+    N, K = cfg.obj_num, cfg.rel_num
+    S, half = B * 5, 2
+    graph = SceneGraph(
+        obj_fmap=jnp.asarray(rng.rand(B, N, 2048), jnp.float32),
+        obj_dist=jnp.asarray(rng.rand(B, N, 1599), jnp.float32),
+        rel_ind=jnp.asarray(rng.randint(0, N - 1, (B, K, 2)), jnp.int32),
+        pred_dist=jnp.asarray(rng.rand(B, K, 21), jnp.float32))
+    soi = np.full((S, 2, half, N), N - 1, np.int32)
+    sam = np.zeros((S, 2, half, N), np.float32)
+    for s in range(S):
+        for p in range(2):
+            for h in range(half):
+                n = rng.randint(3, 9)
+                soi[s, p, h, :n] = rng.choice(N - 1, n, replace=False)
+                sam[s, p, h, :n] = 1
+    labels = np.zeros((S, cfg.seq_length + 2), np.int64)
+    labels[:, 1:13] = rng.randint(1, cfg.vocab_size, (S, 12))
+    masks = np.zeros((S, cfg.seq_length + 2), np.float32)
+    masks[:, :14] = 1
+    batch = TrainBatch(
+        graph=graph, labels=jnp.asarray(labels, jnp.int32),
+        masks=jnp.asarray(masks), sub_obj_ind=jnp.asarray(soi),
+        sub_att_mask=jnp.asarray(sam),
+        img_ix=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), 5)))
+    key = jax.random.PRNGKey(2)
+    zero_e, zero_s = jnp.zeros((), jnp.int32), jnp.zeros(())
+
+    # warm up with a fetched execution (tunnel one-time work)
+    for _ in range(2):
+        ts, m = step(ts, batch, key, zero_e, zero_s)
+        np.asarray(m["loss"])
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        ts, m = step(ts, batch, key, zero_e, zero_s)
+    jax.block_until_ready(m["loss"])
+    wall = time.time() - t0
+    img_s = B * n_steps / wall
+
+    # decode-scan FLOPs dominate; fwd ~1x + bwd ~2x (see docs/PERF.md)
+    R, E, H = cfg.rnn_size, cfg.input_encoding_size, cfg.att_hid_size
+    V1 = cfg.vocab_size + 1
+    per_row_step = (2 * R * 4 * R + 2 * E * 4 * R + 2 * R * 4 * R
+                    + 2 * R * H + 2 * N * H + 2 * N * R
+                    + 2 * 2 * R * 4 * R + 2 * R * 4 * R + 2 * R * V1)
+    flops_step = 3 * S * (cfg.seq_length + 1) * per_row_step
+    tflops = flops_step * n_steps / wall / 1e12
+    print(json.dumps({
+        "metric": f"train images/sec/chip (batch {B}, fwd+bwd+adam, {dtype})",
+        "value": round(img_s, 2),
+        "unit": "images/sec",
+        "step_ms": round(wall / n_steps * 1e3, 2),
+        "vs_baseline": None,
+        "model_tflops_per_sec": round(tflops, 3),
+        "mfu_pct_of_bf16_peak": round(100 * tflops * 1e12 / 197e12, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -45,6 +131,9 @@ def main():
     from subgc_tpu.models.params import init_params
 
     preset = os.environ.get("BENCH_PRESET", "kar")
+    if preset == "train":
+        _bench_train()
+        return
     if preset == "mrnn":
         # Sub_GC_MRNN: beam 1, NMS .55, up to 1000 decodes/image (test.sh:13)
         defaults = dict(images="64", bucket="1024", beam="1", batch="4",

@@ -27,7 +27,8 @@ import numpy as np
 
 
 def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
-                  microbatch_wait_ms: float = 3.0):
+                  microbatch_wait_ms: float = 3.0,
+                  adaptive_wait: bool = False):
     """Returns handle(images_payload) -> results list.
 
     Concurrent requests coalesce into shared device dispatches via
@@ -97,7 +98,8 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                 for bi in range(n_real)]
 
     batcher = MicroBatcher(run_batch, max_batch=batch_images,
-                           max_wait_ms=microbatch_wait_ms)
+                           max_wait_ms=microbatch_wait_ms,
+                           adaptive=adaptive_wait)
 
     def handle(images):
         # split oversized requests so each chunk fits one dispatch; chunks
@@ -172,6 +174,11 @@ def main(argv=None):
     p.add_argument("--microbatch_wait_ms", type=float, default=3.0,
                    help="how long a dispatch waits for more requests to "
                         "coalesce before running under-full")
+    p.add_argument("--adaptive_wait", action="store_true",
+                   help="tune the fill window from the observed arrival "
+                        "rate (microbatch_wait_ms becomes the cap): waits "
+                        "just long enough for the batch to plausibly fill, "
+                        "~zero when traffic is sparse")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "
@@ -201,7 +208,8 @@ def main(argv=None):
     state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
 
     service = build_service(params, state, mcfg, ecfg, infos["vocab"],
-                            args.batch_images, args.microbatch_wait_ms)
+                            args.batch_images, args.microbatch_wait_ms,
+                            adaptive_wait=args.adaptive_wait)
     httpd = serve(service, args.host, args.port)
     parity = ("outputs are NOT bitwise-reproducible vs float32/reference "
               "checkpoints; --compute_dtype float32 is the parity mode"

@@ -114,7 +114,17 @@ def load_checkpoint(ckpt_dir: str, suffix: str = "", opt_state_template=None):
         with np.load(opt_path) as z:
             leaves = [z[str(i)] for i in range(len(z.files))]
         treedef = jtu.tree_structure(opt_state_template)
-        opt_state = jtu.tree_unflatten(treedef, leaves)
+        tmpl_leaves = jtu.tree_leaves(opt_state_template)
+        if len(leaves) != len(tmpl_leaves) or any(
+                getattr(a, "shape", None) != getattr(b, "shape", None)
+                for a, b in zip(leaves, tmpl_leaves)):
+            # optimizer-state layout changed (e.g. the round-3 optax.flatten
+            # move) — model weights still restore; Adam moments reinitialize
+            print(f"warning: optimizer state in {opt_path} does not match "
+                  f"the current optimizer layout; reinitializing moments")
+            opt_state = None
+        else:
+            opt_state = jtu.tree_unflatten(treedef, leaves)
     infos, histories = {}, {}
     ip = os.path.join(ckpt_dir, f"infos{suffix}.json")
     hp = os.path.join(ckpt_dir, f"histories{suffix}.json")

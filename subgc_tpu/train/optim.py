@@ -6,6 +6,8 @@ inject_hyperparams, so the whole update is one jitted step.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import optax
 
@@ -64,7 +66,17 @@ def build_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optim {tcfg.optim!r}")
     if tcfg.weight_decay and tcfg.optim == "adam":
         opt = optax.chain(optax.add_decayed_weights(tcfg.weight_decay), opt)
-    return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm), opt)
+    # optax.flatten was tried for the update (the adam phase measures 13.5ms
+    # when timed STANDALONE — per-leaf kernel fragmentation) and measured
+    # SLOWER in the real step: 41.4 vs 37.6 ms/step on v5e (docs/PERF.md
+    # round 3).  In the shipped step the TrainState is donated, so per-leaf
+    # updates run in-place; flatten's ravel/unravel breaks that aliasing and
+    # costs more than the fragmentation it removes.  SUBGC_FLAT_OPT=1 keeps
+    # the variant available for re-measurement.
+    chain = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm), opt)
+    if os.environ.get("SUBGC_FLAT_OPT", "0") == "1":
+        return optax.flatten(chain)
+    return chain
 
 
 def noam_schedule(model_size: int, factor: float = 1.0, warmup: int = 2000):

@@ -30,20 +30,66 @@ from typing import Callable, List, Sequence
 _UNSET = object()
 
 
+class AdaptiveWait:
+    """Fill-window policy tuned from the observed arrival rate.
+
+    The fixed window wastes latency when traffic is sparse (waiting for
+    stragglers that will not come) and under-fills when the window is
+    shorter than the time to accumulate ``max_batch`` arrivals.  This
+    policy keeps an EWMA of request inter-arrival gaps and waits
+    ``headroom x remaining_slots x mean_gap``, capped at ``max_wait_ms`` —
+    i.e. exactly long enough for the batch to plausibly fill, and ~zero
+    when arrivals are so sparse that filling is hopeless within the cap.
+    """
+
+    def __init__(self, max_wait_ms: float = 25.0, alpha: float = 0.2,
+                 headroom: float = 1.5):
+        self.max_s = max_wait_ms / 1000.0
+        self.alpha = alpha
+        self.headroom = headroom
+        self.mean_gap = None            # EWMA inter-arrival seconds
+        self._last = None
+
+    def observe_arrivals(self, n: int = 1):
+        now = time.monotonic()
+        if self._last is not None and n > 0:
+            gap = (now - self._last) / n
+            self.mean_gap = (gap if self.mean_gap is None
+                             else (1 - self.alpha) * self.mean_gap
+                             + self.alpha * gap)
+        self._last = now
+
+    def wait_s(self, queued: int, max_batch: int) -> float:
+        if queued >= max_batch:
+            return 0.0
+        if self.mean_gap is None:
+            return self.max_s          # cold start: behave like the cap
+        est = self.headroom * (max_batch - queued) * self.mean_gap
+        if est > self.max_s:
+            # the batch will not fill within the cap — waiting only adds
+            # latency; dispatch what is queued after a minimal beat
+            return min(0.1 * self.max_s, est)
+        return est
+
+
 class MicroBatcher:
     """Coalesce concurrent ``submit`` calls into ``run_batch`` dispatches.
 
     run_batch: items (1..max_batch of them) -> list of per-item results,
     same length/order.  Exceptions propagate to every caller in the batch.
+
+    adaptive=True replaces the fixed fill window with :class:`AdaptiveWait`
+    (max_wait_ms becomes its cap).
     """
 
     def __init__(self, run_batch: Callable[[List], List], max_batch: int,
-                 max_wait_ms: float = 3.0):
+                 max_wait_ms: float = 3.0, adaptive: bool = False):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run = run_batch
         self._max = max_batch
         self._wait_s = max_wait_ms / 1000.0
+        self._adaptive = AdaptiveWait(max_wait_ms) if adaptive else None
         self._cv = threading.Condition()
         self._queue: List[list] = []     # [item, result, error] cells
         self._busy = False
@@ -58,14 +104,19 @@ class MicroBatcher:
         cells = [[it, _UNSET, None] for it in items]
         cv = self._cv
         with cv:
+            if self._adaptive is not None:
+                self._adaptive.observe_arrivals(len(cells))
             self._queue.extend(cells)
             cv.notify_all()
             while any(c[1] is _UNSET and c[2] is None for c in cells):
                 if self._busy or not self._queue:
                     cv.wait(0.05)
                     continue
-                # leader: give stragglers max_wait_ms to fill the batch
-                deadline = time.monotonic() + self._wait_s
+                # leader: give stragglers time to fill the batch — a fixed
+                # window, or the arrival-rate-tuned adaptive one
+                wait_s = (self._adaptive.wait_s(len(self._queue), self._max)
+                          if self._adaptive is not None else self._wait_s)
+                deadline = time.monotonic() + wait_s
                 while (not self._busy
                        and 0 < len(self._queue) < self._max):
                     remaining = deadline - time.monotonic()

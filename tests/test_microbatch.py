@@ -1,5 +1,6 @@
 """MicroBatcher: coalescing, correctness under concurrency, errors."""
 import threading
+import time
 
 import pytest
 
@@ -76,3 +77,39 @@ def test_length_mismatch_detected():
                       max_batch=4, max_wait_ms=1.0)
     with pytest.raises(RuntimeError, match="returned 1 results for 2"):
         mb.submit_many([1, 2])
+
+
+def test_adaptive_wait_policy():
+    """AdaptiveWait: waits ~remaining_slots x mean_gap when traffic is
+    steady, ~zero when filling within the cap is hopeless (VERDICT r2
+    item 9)."""
+    from subgc_tpu.utils.microbatch import AdaptiveWait
+
+    aw = AdaptiveWait(max_wait_ms=25.0, alpha=1.0, headroom=1.5)
+    assert aw.wait_s(8, 8) == 0.0                       # already full
+    assert aw.wait_s(1, 8) == 0.025                     # cold start: cap
+    # steady 2 ms arrivals
+    aw.mean_gap = 0.002
+    est = aw.wait_s(4, 8)                               # 4 slots to fill
+    assert abs(est - 1.5 * 4 * 0.002) < 1e-9
+    # sparse traffic: filling 7 slots at 100 ms gaps >> cap -> minimal beat
+    aw.mean_gap = 0.1
+    assert aw.wait_s(1, 8) <= 0.1 * 0.025 + 1e-9
+    # EWMA updates from observed arrivals
+    aw2 = AdaptiveWait(max_wait_ms=25.0, alpha=1.0)
+    aw2.observe_arrivals(1)
+    time.sleep(0.01)
+    aw2.observe_arrivals(2)                             # 2 arrivals share gap
+    assert aw2.mean_gap is not None and 0.003 < aw2.mean_gap < 0.05
+
+
+def test_adaptive_batcher_end_to_end():
+    seen = []
+    mb = MicroBatcher(lambda xs: [x * 2 for x in seen.append(len(xs)) or xs],
+                      max_batch=4, max_wait_ms=5.0, adaptive=True)
+    # single caller, sparse traffic: dispatches should not wait the full cap
+    t0 = time.monotonic()
+    for i in range(6):
+        assert mb.submit(i) == i * 2
+    assert time.monotonic() - t0 < 2.0
+    assert sum(seen) == 6

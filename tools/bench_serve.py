@@ -39,9 +39,11 @@ def make_image(rng, i, cfg):
                 for _ in range(8)]}
 
 
-def run_load(port, images, clients):
+def run_load(port, images, clients, arrival_ms=0.0, seed=0):
     """Fire len(images) single-image requests from `clients` threads,
-    return (elapsed_s, n_ok)."""
+    return (elapsed_s, n_ok, latencies).  arrival_ms > 0 paces each
+    client with exponential inter-request gaps of that mean (open-ish
+    loop), modelling a given aggregate arrival rate."""
     def post(im):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/caption",
@@ -52,26 +54,34 @@ def run_load(port, images, clients):
 
     work = list(images)
     ok = [0]
+    lats = []
     lock = threading.Lock()
 
-    def worker():
+    def worker(wi):
+        r = np.random.RandomState(seed + wi)
         while True:
             with lock:
                 if not work:
                     return
                 im = work.pop()
+            if arrival_ms > 0:
+                time.sleep(r.exponential(arrival_ms / 1e3))
+            t0 = time.perf_counter()
             out = post(im)
+            lat = time.perf_counter() - t0
             assert out["results"][0]["captions"]
             with lock:
                 ok[0] += 1
+                lats.append(lat)
 
-    threads = [threading.Thread(target=worker) for _ in range(clients)]
+    threads = [threading.Thread(target=worker, args=(wi,))
+               for wi in range(clients)]
     t0 = time.perf_counter()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    return time.perf_counter() - t0, ok[0]
+    return time.perf_counter() - t0, ok[0], lats
 
 
 def main():
@@ -82,6 +92,10 @@ def main():
     p.add_argument("--wait_ms", type=float, default=5.0)
     p.add_argument("--bucket", type=int, default=64)
     p.add_argument("--beam_size", type=int, default=3)
+    p.add_argument("--sweep", action="store_true",
+                   help="arrival-rate sweep: fixed vs adaptive fill window "
+                        "(VERDICT r2 item 9); prints req/s + mean latency "
+                        "per (arrival_ms, policy) cell")
     args = p.parse_args()
 
     import jax
@@ -101,6 +115,10 @@ def main():
     rng = np.random.RandomState(0)
     images = [make_image(rng, i, cfg) for i in range(args.requests)]
 
+    if args.sweep:
+        run_sweep(args, params, state, cfg, ecfg, vocab, images)
+        return
+
     results = {}
     for label, bi, wait in [("no_coalesce", 1, 0.0),
                             ("coalesce", args.batch, args.wait_ms)]:
@@ -112,7 +130,7 @@ def main():
         # warm up compile + tunnel (2 fetched executions)
         run_load(port, images[:2], 1)
         run_load(port, images[:2], 2)
-        elapsed, n_ok = run_load(port, images, args.clients)
+        elapsed, n_ok, _ = run_load(port, images, args.clients)
         assert n_ok == args.requests
         results[label] = {"req_per_s": n_ok / elapsed,
                           "dispatches": svc.batcher.dispatch_count}
@@ -127,6 +145,39 @@ def main():
                       "coalesce": results["coalesce"],
                       "no_coalesce": results["no_coalesce"],
                       "speedup": round(speedup, 2)}))
+
+
+def run_sweep(args, params, state, cfg, ecfg, vocab, images):
+    from subgc_tpu.cli.serve import build_service, serve
+    rows = []
+    for adaptive in (False, True):
+        svc = build_service(params, state, cfg, ecfg, vocab,
+                            batch_images=args.batch,
+                            microbatch_wait_ms=25.0,
+                            adaptive_wait=adaptive)
+        httpd = serve(svc, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        run_load(port, images[:2], 1)
+        run_load(port, images[:2], 2)
+        for arrival_ms in (0.0, 50.0, 200.0, 800.0):
+            d0 = svc.batcher.dispatch_count
+            elapsed, n_ok, lats = run_load(port, images, args.clients,
+                                           arrival_ms=arrival_ms,
+                                           seed=int(arrival_ms))
+            row = {"policy": "adaptive" if adaptive else "fixed25ms",
+                   "client_arrival_ms": arrival_ms,
+                   "req_per_s": round(n_ok / elapsed, 2),
+                   "mean_latency_ms": round(1e3 * float(np.mean(lats)), 1),
+                   "p90_latency_ms": round(
+                       1e3 * float(np.percentile(lats, 90)), 1),
+                   "dispatches": svc.batcher.dispatch_count - d0}
+            rows.append(row)
+            print(row, file=sys.stderr, flush=True)
+        httpd.shutdown()
+    print(json.dumps({"metric": "serving arrival-rate sweep "
+                      f"({args.clients} clients, batch {args.batch})",
+                      "rows": rows}))
 
 
 if __name__ == "__main__":
