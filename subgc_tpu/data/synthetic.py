@@ -47,8 +47,11 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
     os.makedirs(sg_dir, exist_ok=True)
     os.makedirs(mask_dir, exist_ok=True)
 
-    vocab_size = min(vocab_size, len(_WORDS))
-    ix_to_word = {str(i + 1): _WORDS[i] for i in range(vocab_size)}
+    # beyond the curated word list, extend with synthetic tokens so
+    # production-scale vocabularies (9487 for COCO talk) are generable
+    words = (list(_WORDS) + [f"w{i}" for i in range(len(_WORDS), vocab_size)]
+             if vocab_size > len(_WORDS) else _WORDS[:vocab_size])
+    ix_to_word = {str(i + 1): words[i] for i in range(vocab_size)}
 
     images = []
     all_labels = []

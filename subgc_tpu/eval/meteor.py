@@ -9,15 +9,22 @@ this is a from-scratch Python implementation of the METEOR 1.5 algorithm:
   synonym stage over a built-in caption-domain synonym table — chosen to
   (1) maximize matches and (2) minimize crossing/chunks (greedy approximation
   of the jar's beam search)
+* a phrase-level PARAPHRASE stage over a built-in caption-domain phrase
+  table (the jar's 4th stage; its paraphrase-db is an external download):
+  multi-word spans left unmatched by the word stages pair when both sides
+  name the same table group ("next to" ~ "beside"), contributing
+  weight x span-length to each side's match mass (so precision and recall
+  masses differ, as in the jar)
 * recall-weighted harmonic mean + cubic fragmentation penalty; multi-
   reference = max over references
 
 Parameters are the METEOR 1.5 English settings: alpha=0.9
 (Fmean = 10PR/(R+9P)), penalty = 0.5*(chunks/matches)^3, stage weights
-(exact 1.0, stem 0.6, synonym 0.8).  DIVERGENCE from the 1.5 jar: the
-synonym stage uses a curated caption-domain table instead of WordNet synsets
-and there is no paraphrase stage (both data files are external downloads the
-reference doesn't ship either); scores correlate but are not bit-identical.
+(exact 1.0, stem 0.6, synonym 0.8, paraphrase 0.6).  DIVERGENCE from the
+1.5 jar: the synonym/paraphrase stages use curated caption-domain tables
+instead of WordNet synsets and the 8MB paraphrase-db (both data files are
+external downloads the reference doesn't ship either); scores correlate
+but are not bit-identical.
 Fidelity is quantified against an independent oracle implementation (nltk's
 meteor_score) on a pinned corpus — see tests/test_metric_fidelity.py and
 docs/METRICS.md for the measured deltas.
@@ -33,7 +40,8 @@ from .stemmer import porter_stem
 ALPHA = 0.9       # recall weight in the harmonic mean
 BETA = 3.0        # fragmentation exponent
 GAMMA = 0.5       # max penalty
-STAGE_WEIGHTS = [1.0, 0.6, 0.8]    # exact, stem, synonym (METEOR 1.5 English)
+# exact, stem, synonym, paraphrase (METEOR 1.5 English)
+STAGE_WEIGHTS = [1.0, 0.6, 0.8, 0.6]
 
 # Caption-domain synonym groups (WordNet-free stand-in for the jar's synset
 # stage; curated for COCO/Flickr caption vocabulary).
@@ -84,6 +92,85 @@ def _syn_key(w: str):
     """Synonym-stage key: the group id if the word is in the table, else the
     word itself (identical leftovers may still pair at this stage)."""
     return _SYN_ID.get(w, w)
+
+
+# Caption-domain paraphrase groups (stand-in for the jar's paraphrase-db,
+# which is an 8MB external download).  Mostly multi-word <-> word/phrase
+# pairs the word stages cannot align.
+PARAPHRASE_GROUPS = [
+    ["next to", "beside", "alongside", "adjacent to"],
+    ["on top of", "atop", "upon"],
+    ["in front of", "before"],
+    ["a lot of", "lots of", "many", "plenty of"],
+    ["a couple of", "a pair of", "two"],
+    ["a group of", "a bunch of", "a crowd of", "a herd of", "several",
+     "more than one", "multiple"],
+    ["cell phone", "cellphone", "mobile phone"],
+    ["hot dog", "hotdog"],
+    ["fire hydrant", "hydrant"],
+    ["teddy bear", "stuffed bear", "stuffed animal"],
+    ["traffic light", "stop light", "stoplight", "traffic signal"],
+    ["train station", "railway station", "railroad station"],
+    ["parking lot", "car park"],
+    ["street light", "streetlight", "lamp post", "lamppost"],
+    ["tennis racket", "tennis racquet"],
+    ["skate board", "skateboard"],
+    ["snow board", "snowboard"],
+    ["surf board", "surfboard"],
+    ["base ball", "baseball"],
+    ["basket ball", "basketball"],
+    ["side by side", "next to each other"],
+    ["in the middle of", "in the center of"],
+    ["getting ready to", "preparing to", "about to"],
+    ["black and white", "monochrome"],
+    ["talking on", "speaking on"],
+    ["little girl", "young girl"],
+    ["little boy", "young boy"],
+]
+_PARA_ID: Dict[str, int] = {}
+_MAX_PHRASE = 1
+for _gi, _grp2 in enumerate(PARAPHRASE_GROUPS):
+    for _ph in _grp2:
+        _PARA_ID[_ph] = _gi
+        _MAX_PHRASE = max(_MAX_PHRASE, len(_ph.split()))
+
+
+def _phrase_matches(hyp: List[str], ref: List[str], used_h: List[bool],
+                    used_r: List[bool]) -> List[Tuple[int, int, int, int]]:
+    """Greedy longest-first paraphrase spans over UNMATCHED words only.
+    Returns [(i_start, i_end, j_start, j_end)] (inclusive)."""
+    out = []
+    for i in range(len(hyp)):
+        for li in range(_MAX_PHRASE, 0, -1):
+            if i + li > len(hyp) or any(used_h[i:i + li]):
+                continue
+            htext = " ".join(hyp[i:i + li])
+            gid = _PARA_ID.get(htext)
+            if gid is None:
+                continue
+            hit = None
+            for j in range(len(ref)):
+                for lj in range(_MAX_PHRASE, 0, -1):
+                    if j + lj > len(ref) or any(used_r[j:j + lj]):
+                        continue
+                    rtext = " ".join(ref[j:j + lj])
+                    # identical spans never survive the exact stage; the
+                    # guard keeps the stage strictly paraphrastic anyway
+                    if rtext != htext and _PARA_ID.get(rtext) == gid:
+                        hit = (j, lj)
+                        break
+                if hit:
+                    break
+            if hit is None:
+                continue
+            j, lj = hit
+            for k in range(i, i + li):
+                used_h[k] = True
+            for k in range(j, j + lj):
+                used_r[k] = True
+            out.append((i, i + li - 1, j, j + lj - 1))
+            break
+    return out
 
 
 def _align_greedy(keys, rkeys, n_hyp: int, n_ref: int,
@@ -203,6 +290,18 @@ def _chunks(matches: List[Tuple[int, int, int]]) -> int:
     return ch
 
 
+def _chunks_spans(spans: List[Tuple[int, int, int, int]]) -> int:
+    """Chunk count over (i1, i2, j1, j2) spans (word matches are 1-word
+    spans; a phrase match is internally one chunk)."""
+    if not spans:
+        return 0
+    ch = 1
+    for (_, pi2, _, pj2), (i1, _, j1, _) in zip(spans, spans[1:]):
+        if i1 != pi2 + 1 or j1 != pj2 + 1:
+            ch += 1
+    return ch
+
+
 def meteor_sentence(hypothesis: str, references: List[str],
                     stage_weights: List[float] = None) -> float:
     """METEOR score of one hypothesis vs references (max over refs).
@@ -222,17 +321,32 @@ def meteor_sentence(hypothesis: str, references: List[str],
         ref = reference.split()
         if not ref:
             continue
-        matches = _align(hyp, ref, n_stages=len(weights))
-        if not matches:
+        matches = _align(hyp, ref, n_stages=min(len(weights), 3))
+        # per-side match mass; identical for word matches, split for phrase
+        # matches (the jar weighs each side by its own covered span)
+        m_h = m_r = sum(weights[s] for _, _, s in matches)
+        n_h = n_r = len(matches)
+        spans = [(i, i, j, j) for i, j, _ in matches]
+        if len(weights) >= 4:
+            used_h = [False] * len(hyp)
+            used_r = [False] * len(ref)
+            for i, j, _ in matches:
+                used_h[i] = used_r[j] = True
+            for i1, i2, j1, j2 in _phrase_matches(hyp, ref, used_h, used_r):
+                lh, lr = i2 - i1 + 1, j2 - j1 + 1
+                m_h += weights[3] * lh
+                m_r += weights[3] * lr
+                n_h += lh
+                n_r += lr
+                spans.append((i1, i2, j1, j2))
+        if m_h == 0 or m_r == 0:
             continue
-        m = sum(weights[s] for _, _, s in matches)
-        P = m / len(hyp)
-        R = m / len(ref)
-        if P == 0 or R == 0:
-            continue
+        P = m_h / len(hyp)
+        R = m_r / len(ref)
         # Fmean = 10PR/(R+9P): recall-dominant harmonic mean
         f_mean = P * R / (ALPHA * P + (1 - ALPHA) * R)
-        frag = _chunks(matches) / len(matches)
+        spans.sort()
+        frag = _chunks_spans(spans) / ((n_h + n_r) / 2)
         penalty = GAMMA * (frag ** BETA)
         score = (1.0 - penalty) * f_mean
         best = max(best, score)

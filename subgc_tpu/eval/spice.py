@@ -24,55 +24,112 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 
-from ..utils.lemma import _KEEP_ING, lemmatize
+from ..utils.lemma import _KEEP_ING, _strip_verb_suffix, lemmatize
 
 DETERMINERS = set("a an the this that these those his her its their some any "
-                  "every each no one two three four five several many".split())
+                  "every each no".split())
+# the jar's scene graphs carry count attributes ("two dogs" -> (dog, 2));
+# numerals normalize so "two cars" matches "2 cars"
+COUNT_WORDS = {"one": "1", "two": "2", "three": "3", "four": "4",
+               "five": "5", "six": "6", "seven": "7", "eight": "8",
+               "nine": "9", "ten": "10", "several": "several",
+               "many": "many", "few": "few"}
 # expletive/pronoun subjects carry no scene content ("there is a dog...")
 EXPLETIVES = set("there it they he she we you i".split())
 COPULAS = set("is are was were be been being".split())
 PREPOSITIONS = set("in on at by with of to from near under over behind above "
                    "beside between through across against along around into "
-                   "onto up down inside outside next".split())
+                   "onto up down inside outside next as".split())
 CONJ = set("and or while".split())
 _BE = "__be__"
 _NONE = "__none__"
+_CONJ = "__conj__"
 
 
-def _is_relation_word(w: str) -> bool:
+def _is_relation_word(w: str, nxt: str = None) -> bool:
     # -ing nouns that are scene objects (building, painting, railing...)
-    # must not pivot relations — reuse the lemmatizer's catalog
-    return w in PREPOSITIONS or (w.endswith("ing") and w not in _KEEP_ING)
+    # must not pivot relations — reuse the lemmatizer's catalog.  The
+    # catalog words are noun/gerund AMBIGUOUS ("a pedestrian crossing" vs
+    # "a man crossing the street"); transitive position — followed by a
+    # determiner — marks verbal use, the same cue a POS tagger leans on.
+    if w in PREPOSITIONS:
+        return True
+    if not w.endswith("ing"):
+        return False
+    return w not in _KEEP_ING or (nxt is not None and nxt in DETERMINERS)
 
 
 def _rel_lemma(w: str) -> str:
-    # relation phrases ("looking at") lemmatize word-wise
-    return " ".join(lemmatize(p) if p.endswith("ing") else p
-                    for p in w.split())
+    # relation phrases ("looking at") lemmatize word-wise; a catalog word
+    # pivoting as a relation is in verbal use, so force verb morphology
+    # (lemmatize() would keep "crossing" nominal)
+    return " ".join(
+        (_strip_verb_suffix(p, 3) if p in _KEEP_ING else lemmatize(p))
+        if p.endswith("ing") else p
+        for p in w.split())
 
 
 def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
     """Caption -> set of lemmatized semantic tuples."""
-    words = [w for w in caption.split()
-             if w and w not in DETERMINERS and w not in EXPLETIVES]
+    raw = [w for w in caption.split() if w]
+    # the noun/gerund lookahead needs the RAW successor (determiners are
+    # the cue and are filtered from the processed stream)
+    words = [(w, raw[i + 1] if i + 1 < len(raw) else None)
+             for i, w in enumerate(raw)
+             if w not in DETERMINERS and w not in EXPLETIVES
+             # inflection-garbled function words ("thes") must not surface
+             # as attributes: drop by lemma too
+             and lemmatize(w) not in DETERMINERS]
     # segment into noun-phrase chunks separated by relation/copula pivots
     chunks: List[List[str]] = [[]]
     pivots: List[str] = []
-    for w in words:
+    for k, (w, nxt) in enumerate(words):
         if w in CONJ:
-            # a conjunction after a predicate starts a NEW clause ("the car
-            # is red and the bus is blue"): close the predicate chunk so the
-            # next subject is not swallowed as an attribute of the first
-            if pivots and pivots[-1] == _BE and chunks[-1]:
+            if not chunks[-1]:
+                continue
+            if w == "while":
+                # always clausal ("a man eating while a woman watches")
                 pivots.append(_NONE)
                 chunks.append([])
+                continue
+            if pivots and pivots[-1] == _BE:
+                # after a copular predicate: "is red and blue" continues the
+                # predicate; "is red and the bus is blue" starts a new
+                # clause — a copula ahead of the next relation word marks it
+                cop_ahead = False
+                for t, t_nxt in words[k + 1:]:
+                    if t in COPULAS:
+                        cop_ahead = True
+                        break
+                    if _is_relation_word(t, t_nxt):
+                        break
+                if cop_ahead:
+                    pivots.append(_NONE)
+                    chunks.append([])
+                continue
+            split = False
+            if pivots and pivots[-1] not in (_NONE, _CONJ):
+                # the left chunk is already a relation object.  "riding a
+                # horse and a bike" conjoins objects, but "riding a horse
+                # and a woman holding a dog" starts a new clause — the cue
+                # is the conjoined NP carrying its own verb (non-preposition
+                # relation word or copula before any preposition)
+                for t, t_nxt in words[k + 1:]:
+                    if t in COPULAS or (_is_relation_word(t, t_nxt)
+                                        and t not in PREPOSITIONS):
+                        split = True
+                        break
+                    if _is_relation_word(t, t_nxt):
+                        break
+            pivots.append(_NONE if split else _CONJ)
+            chunks.append([])
             continue
         if w in COPULAS:
             if chunks[-1]:
                 pivots.append(_BE)
                 chunks.append([])
             continue
-        if _is_relation_word(w):
+        if _is_relation_word(w, nxt):
             if chunks[-1]:
                 pivots.append(w)
                 chunks.append([])
@@ -82,7 +139,7 @@ def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
                 # not a predicate chunk — the relation takes the pivot slot
                 pivots[-1] = w
                 continue
-            if pivots and pivots[-1] != _NONE:
+            if pivots and pivots[-1] not in (_NONE, _CONJ):
                 # consecutive relation words form one phrase ("looking at")
                 pivots[-1] = pivots[-1] + " " + w
                 continue
@@ -103,28 +160,54 @@ def parse_tuples(caption: str) -> Set[Tuple[str, ...]]:
         if not chunk or is_pred[idx]:
             heads.append(None)
             continue
-        lemmas = [lemmatize(w) for w in chunk]
-        head = lemmas[-1]
+        lemmas = [COUNT_WORDS[w] if w in COUNT_WORDS else lemmatize(w)
+                  for w in chunk]
+        # head = last non-count word ("two dogs" heads "dog", counts are
+        # attributes like the jar's scene-graph numerals)
+        hi = len(lemmas) - 1
+        for j in range(len(lemmas) - 1, -1, -1):
+            if chunk[j] not in COUNT_WORDS:
+                hi = j
+                break
+        head = lemmas[hi]
         heads.append(head)
         tuples.add((head,))
-        for attr in lemmas[:-1]:
-            tuples.add((head, attr))
+        for j, attr in enumerate(lemmas):
+            if j != hi:
+                tuples.add((head, attr))
 
     def eff_head(i):
         return heads[owner[i]]
 
+    # conjunction groups: chunks joined by "and"/"or" share relation slots
+    # ("a man and a woman riding a horse" -> both subject the relation)
+    group = list(range(n))
+    for i, piv in enumerate(pivots):
+        if piv == _CONJ and i + 1 < n:
+            group[i + 1] = group[i]
+
+    def grp_heads(i):
+        g = group[owner[i]]
+        return [heads[j] for j in range(n) if group[j] == g and heads[j]]
+
     for idx, chunk in enumerate(chunks):
         if is_pred[idx] and chunk and eff_head(idx):
             for w in chunk:
-                tuples.add((eff_head(idx), lemmatize(w)))
+                tuples.add((eff_head(idx),
+                            COUNT_WORDS.get(w) or lemmatize(w)))
 
     for i, rel in enumerate(pivots):
-        if rel == _BE or rel == _NONE:
+        if rel in (_BE, _NONE, _CONJ):
             continue
-        if i < n - 1 and eff_head(i) and eff_head(i + 1):
-            tuples.add((eff_head(i), _rel_lemma(rel), eff_head(i + 1)))
-        elif eff_head(i):       # dangling relation acts as attribute-ish
-            tuples.add((eff_head(i), _rel_lemma(rel)))
+        subs = grp_heads(i)
+        objs = grp_heads(i + 1) if i < n - 1 else []
+        if subs and objs:
+            for s in subs:
+                for o in objs:
+                    tuples.add((s, _rel_lemma(rel), o))
+        else:                   # dangling relation acts as attribute-ish
+            for s in subs:
+                tuples.add((s, _rel_lemma(rel)))
     return tuples
 
 

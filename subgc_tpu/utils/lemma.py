@@ -62,6 +62,7 @@ _E_RESTORE = {
     "saut": "saute", "juggl": "juggle", "paddl": "paddle",
     "cradl": "cradle", "smok": "smoke", "gaz": "gaze", "shar": "share",
     "tast": "taste", "wad": "wade", "chas": "chase", "plac": "place",
+    "graz": "graze", "hid": "hide", "mov": "move",
 }
 
 _VOWELS = set("aeiou")

@@ -56,6 +56,38 @@ def test_meteor_hand_derived():
     assert meteor_sentence("blue bird", ["red fish"]) == 0.0
 
 
+def test_meteor_paraphrase_stage():
+    # "next to" (2 hyp words) ~ "beside" (1 ref word), weight 0.6:
+    # 4 exact word matches + the phrase match -> m_h = 4 + 0.6*2 = 5.2,
+    # m_r = 4 + 0.6*1 = 4.6; P = 5.2/6, R = 4.6/5; the phrase span bridges
+    # the word matches -> 1 chunk over (6+5)/2 = 5.5 avg matched words
+    P, R = 5.2 / 6, 4.6 / 5
+    f_mean = P * R / (0.9 * P + 0.1 * R)
+    expect = (1 - 0.5 * (1 / 5.5) ** 3) * f_mean
+    assert meteor_sentence("a man next to a table",
+                           ["a man beside a table"]) == \
+        pytest.approx(expect, abs=1e-12)
+    # without the stage (3 weights) the paraphrase words stay unmatched
+    P3, R3 = 4 / 6, 4 / 5
+    f3 = P3 * R3 / (0.9 * P3 + 0.1 * R3)
+    expect3 = (1 - 0.5 * (2 / 4) ** 3) * f3
+    assert meteor_sentence("a man next to a table",
+                           ["a man beside a table"],
+                           stage_weights=[1.0, 0.6, 0.8]) == \
+        pytest.approx(expect3, abs=1e-12)
+    # compound-word paraphrase ("skate board" ~ "skateboard")
+    assert meteor_sentence("a boy on a skate board",
+                           ["a boy on a skateboard"]) > \
+        meteor_sentence("a boy on a skate board",
+                        ["a boy on a skateboard"],
+                        stage_weights=[1.0, 0.6, 0.8])
+    # captions without table phrases are bit-identical with/without stage 4
+    for hyp, refs in [("a red car on the road", ["the red car on a road"]),
+                      ("a dog catching a ball", ["two dogs playing"])]:
+        assert meteor_sentence(hyp, refs) == \
+            meteor_sentence(hyp, refs, stage_weights=[1.0, 0.6, 0.8])
+
+
 def test_spice_hand_derived():
     assert parse_tuples("a red car on the road") == {
         ("car",), ("car", "red"), ("road",), ("car", "on", "road")}
@@ -69,10 +101,14 @@ def test_spice_hand_derived():
         pytest.approx(1 / 3, abs=1e-12)
     # copula predicates attributes onto the subject head (SPICE semantics)
     assert parse_tuples("the car is red") == {("car",), ("car", "red")}
-    # lemma normalization: plural/inflected surface forms share tuples
+    # lemma normalization: plural/inflected surface forms share tuples;
+    # counts surface as numeric attributes like the jar's scene graphs
+    # (cand adds (car, "2") -> tp=3, P=3/4, R=1 -> F=6/7)
+    assert parse_tuples("two cars on the road") == {
+        ("car",), ("car", "2"), ("road",), ("car", "on", "road")}
     assert spice_sentence("two cars on the road",
                           ["a car on a road"])["All"]["f"] == \
-        pytest.approx(1.0)
+        pytest.approx(6 / 7, abs=1e-12)
     assert parse_tuples("a man is wearing a hat") == {
         ("man",), ("hat",), ("man", "wear", "hat")}
     # expletive subjects carry no scene content
@@ -141,3 +177,54 @@ def test_meteor_oracle_bounds(corpus):
     # measured r=0.9655, mean|d|=0.0290
     assert np.corrcoef(shipped, oracle)[0, 1] >= 0.95
     assert np.abs(shipped - oracle).mean() <= 0.035
+
+
+def test_spice_oracle_bounds(corpus):
+    """SPICE vs the independent lexicon+grammar extractor
+    (subgc_tpu/eval/spice_oracle.py) — the analog of the nltk METEOR bound.
+
+    Measured at generation: score r=0.901, tuple-level F1=0.906 on the
+    perturbed 250-pair corpus; residual disagreement concentrates where
+    perturbation dropped the noun and the lexicon-free chunker promotes a
+    stray modifier to an object while the oracle abstains (neither behavior
+    is wrong — the construction has no defined scene graph).  On WELL-FORMED
+    captions the two extractors agree exactly (test below).
+    """
+    from subgc_tpu.eval.spice_oracle import (oracle_tuples,
+                                             spice_sentence_oracle)
+
+    orc = np.array([
+        spice_sentence_oracle(p["hyp"], p["refs"])["All"]["f"]
+        for p in corpus["corpus"]])
+    # the oracle itself must not drift
+    np.testing.assert_allclose(orc, corpus["spice_lexicon_oracle"],
+                               atol=1e-9)
+    ours = np.asarray(corpus["spice_ours"])
+    assert np.corrcoef(ours, orc)[0, 1] >= 0.88
+    assert np.abs(ours - orc).mean() <= 0.10
+
+    tp = fp = fn = 0
+    for p in corpus["corpus"]:
+        for cap in [p["hyp"]] + p["refs"]:
+            t_c, t_o = parse_tuples(cap), oracle_tuples(cap)
+            tp += len(t_c & t_o)
+            fp += len(t_c - t_o)
+            fn += len(t_o - t_c)
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert 2 * prec * rec / (prec + rec) >= 0.89
+
+
+def test_spice_extractors_agree_on_wellformed_captions():
+    """500 unperturbed template captions: the morphology chunker and the
+    lexicon+grammar oracle must produce IDENTICAL tuple sets — grammatical
+    caption English is the regime the scorer actually runs on."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA), "..", "..",
+                                    "tools"))
+    from gen_metric_validation import _sentence
+    from subgc_tpu.eval.spice_oracle import oracle_tuples
+
+    r = np.random.RandomState(7)
+    for _ in range(500):
+        cap = " ".join(_sentence(r))
+        assert parse_tuples(cap) == oracle_tuples(cap), cap

@@ -92,9 +92,12 @@ def test_adaptive_wait_policy():
     aw.mean_gap = 0.002
     est = aw.wait_s(4, 8)                               # 4 slots to fill
     assert abs(est - 1.5 * 4 * 0.002) < 1e-9
-    # sparse traffic: filling 7 slots at 100 ms gaps >> cap -> minimal beat
+    # sparse traffic: estimate exceeds the cap -> wait exactly the cap
+    # (waiting costs at most max_wait_ms against a much larger dispatch;
+    # the earlier dispatch-now-when-hopeless variant measured 3x worse on
+    # chip — see AdaptiveWait.wait_s)
     aw.mean_gap = 0.1
-    assert aw.wait_s(1, 8) <= 0.1 * 0.025 + 1e-9
+    assert aw.wait_s(1, 8) == 0.025
     # EWMA updates from observed arrivals
     aw2 = AdaptiveWait(max_wait_ms=25.0, alpha=1.0)
     aw2.observe_arrivals(1)

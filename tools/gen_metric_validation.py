@@ -28,7 +28,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from subgc_tpu.eval.meteor import SYNONYM_GROUPS, meteor_sentence
-from subgc_tpu.eval.spice import spice_sentence
+from subgc_tpu.eval.spice import parse_tuples, spice_sentence
+from subgc_tpu.eval.spice_oracle import oracle_tuples, spice_sentence_oracle
 
 NOUNS = ("man woman dog cat horse car bus bike boat plane child girl boy "
          "bench table chair pizza sandwich cake umbrella kite surfboard "
@@ -119,6 +120,8 @@ def main():
     corpus = build_corpus()
     wn = _NoWordnet()
     ours, matched, oracle, spice = [], [], [], []
+    spice_orc = []
+    tup_tp = tup_fp = tup_fn = 0
     for pair in corpus:
         ours.append(meteor_sentence(pair["hyp"], pair["refs"]))
         # matched config: exact+stem stages, unweighted — the exact algorithm
@@ -129,6 +132,16 @@ def main():
         oracle.append(meteor_score([rf.split() for rf in pair["refs"]],
                                    pair["hyp"].split(), wordnet=wn))
         spice.append(spice_sentence(pair["hyp"], pair["refs"])["All"]["f"])
+        # SPICE oracle: algorithmically independent extractor (closed POS
+        # lexicon + NP/clause grammar vs morphology chunker) over the same
+        # tuple space — subgc_tpu/eval/spice_oracle.py
+        spice_orc.append(
+            spice_sentence_oracle(pair["hyp"], pair["refs"])["All"]["f"])
+        for cap in [pair["hyp"]] + pair["refs"]:
+            t_c, t_o = parse_tuples(cap), oracle_tuples(cap)
+            tup_tp += len(t_c & t_o)
+            tup_fp += len(t_c - t_o)
+            tup_fn += len(t_o - t_c)
 
     def _stats(a, b):
         a, b = np.asarray(a), np.asarray(b)
@@ -139,9 +152,16 @@ def main():
                 "exact_equal": int(np.sum(np.abs(a - b) < 1e-9)),
                 "ge_oracle": int(np.sum(a >= b - 1e-9))}
 
+    tp_p = tup_tp / (tup_tp + tup_fp)
+    tp_r = tup_tp / (tup_tp + tup_fn)
     stats = {"shipped_vs_nltk": _stats(ours, oracle),
-             "matched_vs_nltk": _stats(matched, oracle)}
-    print("METEOR vs nltk oracle:", json.dumps(stats, indent=2))
+             "matched_vs_nltk": _stats(matched, oracle),
+             "spice_vs_oracle": dict(
+                 _stats(spice, spice_orc),
+                 tuple_precision=tp_p, tuple_recall=tp_r,
+                 tuple_f1=2 * tp_p * tp_r / (tp_p + tp_r))}
+    print("METEOR vs nltk oracle / SPICE vs lexicon oracle:",
+          json.dumps(stats, indent=2))
 
     out = {
         "corpus": corpus,
@@ -149,6 +169,7 @@ def main():
         "meteor_matched": [round(x, 10) for x in matched],
         "meteor_nltk_oracle": [round(x, 10) for x in oracle],
         "spice_ours": [round(x, 10) for x in spice],
+        "spice_lexicon_oracle": [round(x, 10) for x in spice_orc],
         "stats": stats,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
