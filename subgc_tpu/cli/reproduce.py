@@ -119,7 +119,12 @@ def run_model(model_type: str, mconf: dict, manifest: dict) -> dict:
                 oracle = str(mconf.get("oracle_num", 5))
                 out = _test(["--only_sent_eval", "1", "--language_eval", "1",
                              "--oracle_num", oracle])
-                result["language_eval"] = out["scores"]
+                # the full per-image score matrices live in the saved
+                # all_scores_*.npy artifact; the summary keeps the scalars
+                result["language_eval"] = {
+                    k: out["scores"][k] for k in ("top1", "oracle",
+                                                  "bleu_dict")
+                    if k in out["scores"]}
 
             elif stage == "diversity":
                 cfg = manifest.get("diversity", {})

@@ -59,6 +59,18 @@ def parse_args(argv=None):
                    help="{img_id: (w,h)} table for SCT/grounding presets")
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--seed", type=int, default=2019)
+    # debug surface (reference test.py:48-50,96-98)
+    p.add_argument("--verbose_beam", type=int, default=None,
+                   help="print every beam of one random kept sub-graph "
+                        "per image (reference default 1; here 0)")
+    p.add_argument("--verbose_loss", type=int, default=0,
+                   help="also report the teacher-forced LM loss over the "
+                        "split's labels (eval_utils.py:73-86)")
+    p.add_argument("--dump_json", type=int, default=0,
+                   help="write vis/vis.json with the best caption per "
+                        "image")
+    p.add_argument("--dump_path", type=int, default=0,
+                   help="include each image's file_path in vis/vis.json")
     return p.parse_args(argv)
 
 
@@ -104,7 +116,7 @@ def main(argv=None):
               "use_topk_sampling", "oracle_num", "only_sent_eval",
               "topk_temp", "the_k", "group_size", "diversity_lambda",
               "decoding_constraint", "length_penalty",
-              "remove_bad_endings"]:
+              "remove_bad_endings", "verbose_beam"]:
         v = getattr(args, k)
         if v is not None:
             ecfg = ecfg.replace(**{k: bool(v) if k in ("return_att",
@@ -174,6 +186,48 @@ def main(argv=None):
             gpath = os.path.join(args.checkpoint_path, "grounding_file.json")
             collector.save(gpath)
             print(f"grounding material -> {gpath}")
+
+        if args.verbose_loss:
+            # teacher-forced LM loss over the split's labels — the
+            # reference's in-eval loss report (eval_utils.py:73-86)
+            from ..config import TrainConfig
+            from ..data.dataset import TrainLoader
+            from ..train.step import make_val_step
+            tloader = TrainLoader(mcfg, TrainConfig(
+                batch_size=min(8, max(1, args.batch_images))), dcfg,
+                seed=args.seed)
+            val_step = make_val_step(mcfg)
+            n_img = len(tloader.split_ix[args.split]) \
+                if args.num_images < 0 else args.num_images
+            tot, nb = 0.0, 0
+            tloader.reset_iterator(args.split)
+            for _ in range(max(1, n_img // tloader.batch_size)):
+                vb, _, vw = tloader.get_batch(args.split)
+                tot += float(val_step(params, state,
+                                      jax.tree_util.tree_map(jnp.asarray,
+                                                             vb)))
+                nb += 1
+                if vw:
+                    break
+            print(f"{args.split} LM loss: {tot / nb:.4f} ({nb} batches)")
+
+        if args.dump_json:
+            # vis/vis.json: best caption per image (+ file_path with
+            # --dump_path) — reference test.py:48-50's vis artifact
+            id_to_path = {img["id"]: img.get("file_path", "")
+                          for img in loader.ds.images}
+            vis = []
+            for pr in preds:
+                entry = {"image_id": pr["image_id"],
+                         "caption": pr["caption"][0] if pr["caption"]
+                         else ""}
+                if args.dump_path:
+                    entry["file_path"] = id_to_path.get(pr["image_id"], "")
+                vis.append(entry)
+            os.makedirs("vis", exist_ok=True)
+            with open(os.path.join("vis", "vis.json"), "w") as f:
+                json.dump(vis, f)
+            print(f"predictions -> vis/vis.json ({len(vis)} images)")
     else:
         path = os.path.join(args.checkpoint_path,
                             f"captions_{iter_tag}.npy")

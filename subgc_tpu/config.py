@@ -151,6 +151,10 @@ class EvalConfig:
     oracle_num: int = 1
     num_images: int = -1
     remove_bad_endings: bool = False
+    # debug: print every beam candidate of one random kept sub-graph per
+    # image (the reference's --verbose_beam, eval_utils.py:124-130).
+    # Default off (the reference defaults on, which floods large runs).
+    verbose_beam: int = 0
 
     def replace(self, **kw) -> "EvalConfig":
         return dataclasses.replace(self, **kw)

@@ -168,6 +168,11 @@ class FlickrGrdEval:
                         recall[cls].append(0)
 
         num_vocab = len(vocab_in_split)
+        if num_vocab == 0:
+            # empty reference (e.g., a model emitting empty captions left
+            # no grounded classes to score) — all-zero rather than crash
+            return {f"precision_{mode}": 0.0, f"recall_{mode}": 0.0,
+                    f"F1_{mode}": 0.0}
         prec_accu = sum(sum(h) / len(h) for h in prec.values()) / num_vocab
         rec_accu = sum(sum(h) / len(h) for h in recall.values()) / num_vocab
         f1 = 2 * prec_accu * rec_accu / (prec_accu + rec_accu) \

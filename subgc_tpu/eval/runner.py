@@ -45,10 +45,13 @@ def make_infer_fn(cfg: ModelConfig, ecfg: EvalConfig):
 
 
 def _decode(params, enc, cfg, ecfg, rng):
+    all_beams = None
     if ecfg.beam_size > 1:
         out = beam_mod.beam_search(params, enc.feats, cfg, ecfg)
         seq, logprobs = out.seq, out.logprobs
         att_w = None
+        if ecfg.verbose_beam:
+            all_beams = out.all_seqs
     else:
         s = greedy_mod.sample(params, enc.feats, cfg, ecfg, rng)
         seq, logprobs = s.seq, s.logprobs
@@ -57,6 +60,8 @@ def _decode(params, enc, cfg, ecfg, rng):
                keep_ind=enc.keep_ind, keep_valid=enc.keep_valid)
     if att_w is not None:
         res["att_weights"] = att_w
+    if all_beams is not None:
+        res["all_beams"] = all_beams
     return res
 
 
@@ -158,6 +163,17 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
                 collect_grounding(ex, sents, keep_ind[order],
                                   att[bi][:n][order] if att is not None else None,
                                   order)
+            if ecfg.verbose_beam and "all_beams" in out and n:
+                # one random kept sub-graph's full beam list per image
+                # (eval_utils.py:124-130)
+                i = int(np.random.choice(n))
+                beams = decode_sequence(
+                    vocab, out["all_beams"][bi][i],
+                    remove_bad_endings=ecfg.remove_bad_endings)
+                print(f"beam search sentences of image {ex.info.id} "
+                      f"(sub-graph {int(out['keep_ind'][bi][i])}):")
+                print("\n".join(beams))
+                print("--" * 10)
             if verbose and len(predictions) <= 3:
                 print(f"image {ex.info.id}: kept {n} sub-graphs; best: "
                       f"{sents[0] if sents else '<none>'!r}")

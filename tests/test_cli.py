@@ -158,3 +158,41 @@ def test_train_cli_model_overrides(synth, tmp_path):
     mc = json.loads(infos["model_config"])
     assert mc["use_bn"] == 2 and mc["gcn_layers"] == 1
     assert mc["rnn_size"] == 64 and mc["drop_prob_lm"] == 0.2
+
+
+def test_debug_flags(synth, tmp_path, monkeypatch, capsys):
+    """--verbose_beam / --verbose_loss / --dump_json / --dump_path
+    (reference test.py:48-50,96-98, eval_utils.py:73-86,124-130)."""
+    from subgc_tpu.cli import test as test_cli
+    from subgc_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "run")
+    train_cli.main([
+        "Sub_GC_Kar", "--checkpoint_path", ckpt,
+        "--batch_size", "4", "--max_iters", "2",
+        "--save_checkpoint_every", "2", "--val_images_use", "4",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ])
+    monkeypatch.chdir(tmp_path)   # vis/ lands here
+    test_cli.main([
+        "Sub_GC_Kar", "--checkpoint_path", ckpt,
+        "--beam_size", "2", "--gpn_max_subg", "3", "--bucket", "16",
+        "--batch_images", "2", "--num_images", "4",
+        "--verbose_beam", "1", "--verbose_loss", "1",
+        "--dump_json", "1", "--dump_path", "1",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"],
+    ])
+    out = capsys.readouterr().out
+    assert "beam search sentences of image" in out
+    assert "test LM loss:" in out
+
+    vis = json.load(open(tmp_path / "vis" / "vis.json"))
+    assert len(vis) == 2      # the 10-image fixture has 2 test images
+    assert {"image_id", "caption", "file_path"} <= set(vis[0])
+    assert vis[0]["file_path"] == "synthetic/1004.jpg"

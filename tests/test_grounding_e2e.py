@@ -78,3 +78,14 @@ def test_grounding_collection_and_eval(tmp_path):
         out = ev.grd_eval("all")
         # the first collected box IS the GT box -> that class grounds at 1.0
         assert out["recall_all"] > 0
+
+
+def test_grd_eval_empty_reference():
+    """An empty reference (e.g., a degenerate model emitted only empty
+    captions, so the prepass produced no grounded classes) must score
+    all-zero instead of dividing by zero."""
+    ev = FlickrGrdEval([], {})
+    for mode in ("all", "loc"):
+        out = ev.grd_eval(mode)
+        assert out == {f"precision_{mode}": 0.0, f"recall_{mode}": 0.0,
+                       f"F1_{mode}": 0.0}

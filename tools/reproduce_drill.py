@@ -61,6 +61,20 @@ class _Timer:
         return _Ctx()
 
 
+def write_relative_tables(out, images, vocab_words):
+    """The data/*.npy lookup tables the CLIs read relative to CWD
+    (MRNN split routing, gvd grounding dicts, image sizes)."""
+    os.makedirs(os.path.join(out, "data"), exist_ok=True)
+    np.save(os.path.join(out, "data", "MRNN_split_dict.npy"),
+            {img["id"]: img["split"] for img in images})
+    np.save(os.path.join(out, "data", "gvd_all_dict.npy"),
+            {"wd_to_lemma": {w: w for w in vocab_words},
+             "lemma_det_id_dict": {w: i for i, w in enumerate(vocab_words)},
+             "det_id_to_det_wd": {i: w for i, w in enumerate(vocab_words)}})
+    np.save(os.path.join(out, "data", "flickr30k_img_wh.npy"),
+            {img["id"]: (592, 592) for img in images})
+
+
 def build_fixtures(out, man, loader, test_ids, vocab_words, rng):
     """Rerank/controllability/grounding side inputs at drill scale —
     the same fabrication recipe as tests/test_reproduce.py, sized up."""
@@ -102,16 +116,6 @@ def build_fixtures(out, man, loader, test_ids, vocab_words, rng):
     fx["glove"] = os.path.join(out, "nglove.npz")
     np.savez(fx["glove"], words=np.asarray(vocab_words, dtype=object),
              vecs=rng.rand(len(vocab_words), 32))
-
-    # grounding tables under CWD/data (the test CLI's relative path)
-    os.makedirs(os.path.join(out, "data"), exist_ok=True)
-    np.save(os.path.join(out, "data", "gvd_all_dict.npy"),
-            {"wd_to_lemma": {w: w for w in vocab_words},
-             "lemma_det_id_dict": {w: i for i, w in enumerate(vocab_words)},
-             "det_id_to_det_wd": {i: w for i, w in enumerate(vocab_words)}})
-    np.save(os.path.join(out, "data", "flickr30k_img_wh.npy"), img_wh)
-    np.save(os.path.join(out, "data", "MRNN_split_dict.npy"),
-            {img["id"]: img["split"] for img in loader.ds.images})
     return fx
 
 
@@ -119,7 +123,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/drill")
     p.add_argument("--images", type=int, default=1000)
-    p.add_argument("--train_iters", type=int, default=40)
+    p.add_argument("--train_iters", type=int, default=400,
+                   help="enough for the learnable synthetic captions to "
+                        "become non-degenerate (empty captions at <100 "
+                        "iters zero out every downstream metric)")
     p.add_argument("--train_batch", type=int, default=16)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--batch_images", type=int, default=16)
@@ -153,40 +160,47 @@ def main(argv=None):
                    "--obj_name_path", man["obj_name_path"],
                    "--rel_name_path", man["rel_name_path"]]
 
-    # one short production-dim checkpoint per trained family; the Flickr
-    # families evaluate the Kar checkpoint (same architecture — the drill
-    # exercises the pipelines, not Flickr-specific weights)
-    ckpts = {}
-    for fam in ("Sub_GC_Kar", "Sub_GC_MRNN"):
-        ckpt = os.path.join(out, f"run_{fam}")
-        with timer(f"train_{fam}"):
-            train_cli.main([fam, "--checkpoint_path", ckpt,
-                            "--batch_size", str(args.train_batch),
-                            "--max_iters", str(args.train_iters),
-                            "--save_checkpoint_every", str(args.train_iters),
-                            "--val_images_use", "8",
-                            "--compute_dtype", args.compute_dtype]
-                           + common_data)
-        ckpts[fam] = ckpt
-
-    with timer("eval_loader"):
-        mcfg = ModelConfig()      # production defaults match the dataset
-        dcfg = DataConfig(input_json=man["input_json"],
-                          input_label_h5=man["input_label_h5"],
-                          sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
-        loader = EvalLoader(mcfg, dcfg, bucket=args.bucket)
-        test_ids = [loader.ds.images[ix]["id"]
-                    for ix in loader.split_ix["test"]]
-        vocab_words = list(loader.vocab.values())
-
-    with timer("fixtures"):
-        fx = build_fixtures(out, man, loader, test_ids, vocab_words, rng)
-
-    # grounding reference needs a pre-pass (fabricate a reference whose
-    # classes match what the collector emits on this data)
+    # the CLIs read data/*.npy lookup tables relative to CWD (the
+    # reference's convention) — stage them and run from the drill dir
+    blob = json.load(open(man["input_json"]))
+    vocab_words = [blob["ix_to_word"][k]
+                   for k in sorted(blob["ix_to_word"], key=int)]
+    write_relative_tables(out, blob["images"], vocab_words)
     cwd = os.getcwd()
     os.chdir(out)
     try:
+        # one short production-dim checkpoint per trained family; the
+        # Flickr families evaluate the Kar checkpoint (same architecture —
+        # the drill exercises the pipelines, not Flickr-specific weights)
+        ckpts = {}
+        for fam in ("Sub_GC_Kar", "Sub_GC_MRNN"):
+            ckpt = os.path.join(out, f"run_{fam}")
+            with timer(f"train_{fam}"):
+                train_cli.main([fam, "--checkpoint_path", ckpt,
+                                "--batch_size", str(args.train_batch),
+                                "--max_iters", str(args.train_iters),
+                                "--save_checkpoint_every",
+                                str(args.train_iters),
+                                "--val_images_use", "8",
+                                "--compute_dtype", args.compute_dtype]
+                               + common_data)
+            ckpts[fam] = ckpt
+
+        with timer("eval_loader"):
+            mcfg = ModelConfig()  # production defaults match the dataset
+            dcfg = DataConfig(input_json=man["input_json"],
+                              input_label_h5=man["input_label_h5"],
+                              sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+            loader = EvalLoader(mcfg, dcfg, bucket=args.bucket)
+            test_ids = [loader.ds.images[ix]["id"]
+                        for ix in loader.split_ix["test"]]
+
+        with timer("fixtures"):
+            fx = build_fixtures(out, man, loader, test_ids, vocab_words,
+                                rng)
+
+        # grounding reference needs a pre-pass (fabricate a reference whose
+        # classes match what the collector emits on this data)
         from subgc_tpu.cli import test as test_cli
         grd_flags = ["--bucket", str(args.bucket),
                      "--batch_images", str(args.batch_images),
@@ -258,7 +272,10 @@ def main(argv=None):
             pth = os.path.join(root, f)
             artifacts[os.path.relpath(pth, out)] = _sha(pth)
     for fam, ck in ckpts.items():
-        for f in ("model.npz", "infos.json"):
+        for f in ("model.npz", "infos.json", "captions_repro.npy",
+                  "ctl_captions_repro.npy", "grounding_file.json",
+                  "consensus_rerank_ind.npy",
+                  "all_scores_repro_5-subgraph.npy"):
             pth = os.path.join(ck, f)
             if os.path.exists(pth):
                 artifacts[os.path.relpath(pth, out)] = _sha(pth)
