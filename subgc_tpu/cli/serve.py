@@ -1,26 +1,40 @@
 """Caption-serving HTTP endpoint — `python -m subgc_tpu.cli.serve`.
 
-Loads a checkpoint once, keeps the jitted batched inference program warm, and
-serves caption requests over stdlib HTTP (no web-framework dependency):
+Loads one or more checkpoints once, keeps the jitted batched inference
+programs warm, and serves caption requests over stdlib HTTP (no
+web-framework dependency):
 
     POST /caption
         {"images": [{"id": 1, "object_fmap": [[...]], "object_dist": [[...]],
                      "rel_ind": [[s,o]...], "pred_dist": [[...]],
-                     "subgraphs": [{"nodes": [...], "rels": [...]}, ...]}]}
+                     "subgraphs": [{"nodes": [...], "rels": [...]}, ...]}],
+         "model": "kar",            # optional; default = first checkpoint
+         "dtype": "float32"}        # optional; default = --compute_dtype
     ->  {"results": [{"id": 1, "captions": [...], "scores": [...]}]}
 
     GET /healthz -> {"ok": true}
+    GET /models  -> {"default": ..., "models": {name: {...}}}
 
 Requests batch onto the static image/bucket shapes (padded); concurrent
 clients' images coalesce into shared TPU dispatches (utils/microbatch.py),
 so a full batch costs the same as one padded image.  The sub-graph list is
 optional — without it the server samples a bank on the fly with
 data/subgraph_sampler.py.
+
+Per-request dtype: params live in float32 on device; ``compute_dtype`` is a
+static jit config, so each dtype is a separate compiled program with its own
+micro-batch queue (requests of different dtypes cannot share a dispatch).
+``bfloat16`` (+ bf16 LSTM gate streams) is the fast deployment path,
+``float32`` the bitwise reference-parity mode (docs/PERF.md); the non-default
+program compiles lazily on its first request.  Multiple ``--checkpoint_path``
+flags serve several models behind one endpoint, routed by the request's
+``model`` field — e.g. a COCO Karpathy-split captioner next to an M-RNN one.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -123,6 +137,91 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
     return handle
 
 
+_DTYPES = ("float32", "bfloat16")
+
+
+class ModelService:
+    """One loaded checkpoint servable under per-request compute dtype.
+
+    Holds the float32 params once; builds one `build_service` handle per
+    requested dtype (each a separate jitted program + MicroBatcher — static
+    jit config, so cross-dtype requests cannot share a dispatch).  The
+    default dtype's program is built eagerly so the first real request
+    doesn't pay its compile; the other dtype compiles lazily on first use.
+    """
+
+    def __init__(self, params, state, mcfg, ecfg, vocab,
+                 default_dtype: str = "bfloat16", batch_images: int = 8,
+                 microbatch_wait_ms: float = 3.0,
+                 adaptive_wait: bool = False):
+        if default_dtype not in _DTYPES:
+            raise ValueError(f"default_dtype must be one of {_DTYPES}")
+        self.params, self.state, self.vocab = params, state, vocab
+        # base config with dtype fields neutralized; variants derive from it
+        self.mcfg = mcfg.replace(compute_dtype="float32",
+                                 bf16_lstm_gates=False)
+        self.ecfg = ecfg
+        self.default_dtype = default_dtype
+        self._kw = dict(batch_images=batch_images,
+                        microbatch_wait_ms=microbatch_wait_ms,
+                        adaptive_wait=adaptive_wait)
+        self._handles = {}
+        self._lock = threading.Lock()
+        self._handle(default_dtype)
+
+    def _handle(self, dtype: str):
+        with self._lock:
+            if dtype not in self._handles:
+                mcfg = self.mcfg.replace(
+                    compute_dtype=dtype,
+                    bf16_lstm_gates=dtype == "bfloat16")
+                self._handles[dtype] = build_service(
+                    self.params, self.state, mcfg, self.ecfg, self.vocab,
+                    **self._kw)
+            return self._handles[dtype]
+
+    def __call__(self, images, dtype: str | None = None):
+        dtype = dtype or self.default_dtype
+        if dtype not in _DTYPES:
+            raise ValueError(f"dtype must be one of {_DTYPES}, got {dtype!r}")
+        return self._handle(dtype)(images)
+
+    def describe(self) -> dict:
+        return {"default_dtype": self.default_dtype,
+                "compiled_dtypes": sorted(self._handles),
+                "beam_size": self.ecfg.beam_size,
+                "bucket": self.ecfg.max_subgraph_bucket,
+                "vocab_size": self.mcfg.vocab_size}
+
+
+class ModelRegistry:
+    """Several ModelServices behind one endpoint, routed by request
+    `model`; the first registered model is the default."""
+
+    def __init__(self):
+        self.models: dict = {}
+        self.default = None
+
+    def add(self, name: str, service: ModelService):
+        if name in self.models:
+            raise ValueError(f"duplicate model name {name!r}")
+        self.models[name] = service
+        if self.default is None:
+            self.default = name
+
+    def __call__(self, images, model: str | None = None,
+                 dtype: str | None = None):
+        name = model or self.default
+        if name not in self.models:
+            raise ValueError(f"unknown model {name!r}; available: "
+                             f"{sorted(self.models)}")
+        return self.models[name](images, dtype=dtype)
+
+    def describe(self) -> dict:
+        return {"default": self.default,
+                "models": {n: s.describe() for n, s in self.models.items()}}
+
+
 class _Handler(BaseHTTPRequestHandler):
     service = None
 
@@ -140,6 +239,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply(200, {"ok": True})
+        elif self.path == "/models" and hasattr(_Handler.service,
+                                                "describe"):
+            self._reply(200, _Handler.service.describe())
         else:
             self._reply(404, {"error": "not found"})
 
@@ -150,7 +252,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
-            results = _Handler.service(req["images"])
+            service = _Handler.service
+            if isinstance(service, (ModelRegistry, ModelService)):
+                kw = {"dtype": req.get("dtype")}
+                if isinstance(service, ModelRegistry):
+                    kw["model"] = req.get("model")
+                results = service(req["images"], **kw)
+            else:               # plain build_service handle
+                results = service(req["images"])
             self._reply(200, {"results": results})
         except Exception as e:      # pragma: no cover - defensive
             self._reply(400, {"error": repr(e)})
@@ -164,8 +273,14 @@ def serve(service, host: str = "127.0.0.1", port: int = 8742):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar")
-    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar",
+                   help="eval-preset fallback for checkpoints whose "
+                        "infos.json predates the model_type field")
+    p.add_argument("--checkpoint_path", type=str, required=True,
+                   action="append",
+                   help="checkpoint dir, or NAME=dir; repeatable — each "
+                        "becomes a servable model routed by the request's "
+                        "'model' field (first one is the default)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8742)
     p.add_argument("--bucket", type=int, default=128)
@@ -187,6 +302,8 @@ def main(argv=None):
                         "decode")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -195,28 +312,37 @@ def main(argv=None):
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    mcfg, ecfg, _ = build_configs(args.model_type, mode="test")
-    infos = json.load(open(f"{args.checkpoint_path}/infos.json"))
-    mcfg = config_from_json(ModelConfig, infos["model_config"])
-    mcfg = mcfg.replace(compute_dtype=args.compute_dtype,
-                        bf16_lstm_gates=args.compute_dtype == "bfloat16")
-    ecfg = ecfg.replace(max_subgraph_bucket=args.bucket)
-    if args.beam_size:
-        ecfg = ecfg.replace(beam_size=args.beam_size)
-    blob = C.load_pytree_npz(f"{args.checkpoint_path}/model.npz")
-    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
-    state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
+    registry = ModelRegistry()
+    for spec in args.checkpoint_path:
+        name, _, path = spec.rpartition("=")
+        name = name or os.path.basename(os.path.normpath(path))
+        infos = json.load(open(f"{path}/infos.json"))
+        _, ecfg, _ = build_configs(infos.get("model_type", args.model_type),
+                                   mode="test")
+        mcfg = config_from_json(ModelConfig, infos["model_config"])
+        ecfg = ecfg.replace(max_subgraph_bucket=args.bucket)
+        if args.beam_size:
+            ecfg = ecfg.replace(beam_size=args.beam_size)
+        blob = C.load_pytree_npz(f"{path}/model.npz")
+        params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
+        registry.add(name, ModelService(
+            params, state, mcfg, ecfg, infos["vocab"],
+            default_dtype=args.compute_dtype,
+            batch_images=args.batch_images,
+            microbatch_wait_ms=args.microbatch_wait_ms,
+            adaptive_wait=args.adaptive_wait))
 
-    service = build_service(params, state, mcfg, ecfg, infos["vocab"],
-                            args.batch_images, args.microbatch_wait_ms,
-                            adaptive_wait=args.adaptive_wait)
-    httpd = serve(service, args.host, args.port)
-    parity = ("outputs are NOT bitwise-reproducible vs float32/reference "
-              "checkpoints; --compute_dtype float32 is the parity mode"
+    httpd = serve(registry, args.host, args.port)
+    parity = ("default outputs are NOT bitwise-reproducible vs "
+              "float32/reference checkpoints; per-request "
+              '{"dtype": "float32"} (or --compute_dtype float32) is the '
+              "parity mode"
               if args.compute_dtype == "bfloat16" else "reference parity mode")
-    print(f"serving {args.model_type} on http://{args.host}:{args.port} "
-          f"(beam {ecfg.beam_size}, bucket {args.bucket}, "
-          f"compute_dtype={args.compute_dtype} — {parity})")
+    print(f"serving {sorted(registry.models)} on "
+          f"http://{args.host}:{args.port} "
+          f"(default {registry.default}, bucket {args.bucket}, "
+          f"default dtype={args.compute_dtype} — {parity})")
     httpd.serve_forever()
 
 

@@ -7,7 +7,8 @@ import numpy as np
 import jax
 import pytest
 
-from subgc_tpu.cli.serve import build_service, serve
+from subgc_tpu.cli.serve import (ModelRegistry, ModelService, build_service,
+                                 serve)
 from subgc_tpu.config import EvalConfig, ModelConfig
 from subgc_tpu.models.params import init_params
 
@@ -131,3 +132,112 @@ def test_concurrent_requests_coalesce(server):
                                    rtol=1e-6)
     # the two concurrent requests rode one dispatch (100ms fill window)
     assert service.batcher.dispatch_count - before == 1
+
+
+@pytest.fixture(scope="module")
+def registry_server():
+    """Two models behind one endpoint via ModelRegistry/ModelService —
+    the multi-model + per-request-dtype serving surface."""
+    cfg = ModelConfig(vocab_size=30, rnn_size=48, input_encoding_size=32,
+                      att_hid_size=24, gcn_dim=32, fc_feat_size=48,
+                      att_feat_size=64, embed_dim=16, num_obj_classes=12,
+                      num_rel_classes=6)
+    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4,
+                      max_subgraph_bucket=16)
+    registry = ModelRegistry()
+    for name, seed, tag in (("kar", 0, "k"), ("mrnn", 1, "m")):
+        params, state = init_params(jax.random.PRNGKey(seed), cfg,
+                                    n_obj_names=12, n_pred_names=6)
+        vocab = {str(i): f"{tag}{i}" for i in range(1, 31)}
+        registry.add(name, ModelService(
+            params, state, cfg, ecfg, vocab, default_dtype="float32",
+            batch_images=2, microbatch_wait_ms=20.0))
+    httpd = serve(registry, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}", cfg, registry
+    httpd.shutdown()
+
+
+def _image(cfg, rng, i):
+    n, k = 8, 10
+    return {"id": i,
+            "object_fmap": rng.rand(n, cfg.att_feat_size).tolist(),
+            "object_dist": rng.rand(n, cfg.num_obj_classes).tolist(),
+            "rel_ind": rng.randint(0, n, (k, 2)).tolist(),
+            "pred_dist": rng.rand(k, cfg.num_rel_classes).tolist(),
+            "subgraphs": [
+                {"nodes": rng.choice(n, 3, replace=False).tolist(),
+                 "rels": rng.choice(k, 2, replace=False).tolist()}
+                for _ in range(4)]}
+
+
+def test_models_endpoint(registry_server):
+    base, _, _ = registry_server
+    with urllib.request.urlopen(base + "/models", timeout=60) as resp:
+        desc = json.loads(resp.read())
+    assert desc["default"] == "kar"
+    assert set(desc["models"]) == {"kar", "mrnn"}
+    assert desc["models"]["kar"]["default_dtype"] == "float32"
+    assert desc["models"]["kar"]["compiled_dtypes"] == ["float32"]
+
+
+def test_model_routing(registry_server):
+    """Requests route to the named model; the default is the first one.
+    The two models share architecture but differ in weights + vocab, so
+    their captions come from disjoint word sets."""
+    base, cfg, _ = registry_server
+    img = _image(cfg, np.random.RandomState(5), 1)
+    r_def = _post(base + "/caption", {"images": [img]})["results"][0]
+    r_kar = _post(base + "/caption",
+                  {"images": [img], "model": "kar"})["results"][0]
+    r_mrnn = _post(base + "/caption",
+                   {"images": [img], "model": "mrnn"})["results"][0]
+    assert r_def["captions"] == r_kar["captions"]
+    assert all(w.startswith("k") for c in r_kar["captions"]
+               for w in c.split())
+    assert all(w.startswith("m") for c in r_mrnn["captions"]
+               for w in c.split())
+
+
+def test_unknown_model_is_400(registry_server):
+    base, cfg, _ = registry_server
+    img = _image(cfg, np.random.RandomState(6), 2)
+    req = urllib.request.Request(
+        base + "/caption",
+        json.dumps({"images": [img], "model": "nope"}).encode(),
+        {"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_per_request_dtype(registry_server):
+    """dtype=bfloat16 lazily compiles a second program for the model and
+    serves from it; dtype=float32 keeps serving the default program.
+    Invalid dtypes are a 400."""
+    base, cfg, registry = registry_server
+    img = _image(cfg, np.random.RandomState(7), 3)
+    svc = registry.models["kar"]
+
+    r32 = _post(base + "/caption",
+                {"images": [img], "dtype": "float32"})["results"][0]
+    assert list(svc._handles) == ["float32"]
+    rbf = _post(base + "/caption",
+                {"images": [img], "model": "kar",
+                 "dtype": "bfloat16"})["results"][0]
+    assert sorted(svc._handles) == ["bfloat16", "float32"]
+    assert svc.describe()["compiled_dtypes"] == ["bfloat16", "float32"]
+    # same image through both programs: both decode real captions from the
+    # same vocab (numerics may legitimately differ between the dtypes)
+    assert rbf["captions"] and r32["captions"]
+    assert all(w.startswith("k") for c in rbf["captions"]
+               for w in c.split())
+
+    req = urllib.request.Request(
+        base + "/caption",
+        json.dumps({"images": [img], "dtype": "float16"}).encode(),
+        {"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
