@@ -40,6 +40,23 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def parse_checkpoint_spec(spec: str) -> tuple:
+    """Split a ``--checkpoint_path`` value into ``(name, path)``.
+
+    Accepts ``NAME=dir`` but never mis-splits a plain path that contains
+    ``'='`` (e.g. sweep dirs like ``/ckpts/lr=5e-4/run``): the prefix must
+    look like a name (no path separator) and the whole spec must not itself
+    be an existing directory.  A missing name defaults to the path's
+    basename."""
+    import os
+    name, eq, rest = spec.partition("=")
+    if eq and os.sep not in name and not os.path.isdir(spec):
+        path = rest
+    else:
+        name, path = "", spec
+    return name or os.path.basename(os.path.normpath(path)), path
+
+
 def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                   microbatch_wait_ms: float = 3.0,
                   adaptive_wait: bool = False):
@@ -145,9 +162,11 @@ class ModelService:
 
     Holds the float32 params once; builds one `build_service` handle per
     requested dtype (each a separate jitted program + MicroBatcher — static
-    jit config, so cross-dtype requests cannot share a dispatch).  The
-    default dtype's program is built eagerly so the first real request
-    doesn't pay its compile; the other dtype compiles lazily on first use.
+    jit config, so cross-dtype requests cannot share a dispatch).  Handles
+    are constructed eagerly for the default dtype but XLA compiles on first
+    dispatch — call :meth:`warmup` (the CLI does, before opening the port)
+    to pay the compile and the tunnel's one-time execution setup up front;
+    the non-default dtype always compiles lazily on its first request.
     """
 
     def __init__(self, params, state, mcfg, ecfg, vocab,
@@ -185,6 +204,18 @@ class ModelService:
         if dtype not in _DTYPES:
             raise ValueError(f"dtype must be one of {_DTYPES}, got {dtype!r}")
         return self._handle(dtype)(images)
+
+    def warmup(self):
+        """Run one dummy image through the default-dtype program so the
+        first real request doesn't pay the XLA compile (nor, on the axon
+        tunnel, the minutes-long first-execution setup)."""
+        mcfg, n, k = self.mcfg, 4, 3
+        rng = np.random.RandomState(0)
+        self([{"object_fmap": rng.rand(n, mcfg.att_feat_size),
+               "object_dist": rng.rand(n, mcfg.num_obj_classes),
+               "rel_ind": rng.randint(0, n, (k, 2)),
+               "pred_dist": rng.rand(k, mcfg.num_rel_classes),
+               "subgraphs": [{"nodes": [0, 1], "rels": [0]}]}])
 
     def describe(self) -> dict:
         return {"default_dtype": self.default_dtype,
@@ -314,8 +345,7 @@ def main(argv=None):
 
     registry = ModelRegistry()
     for spec in args.checkpoint_path:
-        name, _, path = spec.rpartition("=")
-        name = name or os.path.basename(os.path.normpath(path))
+        name, path = parse_checkpoint_spec(spec)
         infos = json.load(open(f"{path}/infos.json"))
         _, ecfg, _ = build_configs(infos.get("model_type", args.model_type),
                                    mode="test")
@@ -332,6 +362,10 @@ def main(argv=None):
             batch_images=args.batch_images,
             microbatch_wait_ms=args.microbatch_wait_ms,
             adaptive_wait=args.adaptive_wait))
+
+    for name, svc in registry.models.items():
+        print(f"warming {name} ({svc.default_dtype})...", flush=True)
+        svc.warmup()
 
     httpd = serve(registry, args.host, args.port)
     parity = ("default outputs are NOT bitwise-reproducible vs "

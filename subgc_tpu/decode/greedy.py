@@ -28,7 +28,10 @@ from ..models import decoder as D
 class SampleOut(NamedTuple):
     seq: jnp.ndarray           # [S, T] int32
     logprobs: jnp.ndarray      # [S, T] per-token logprob of chosen token
-    att_weights: jnp.ndarray   # [S, T+1, N] attention weights
+    # attention weights: [S, T+1, N] with return_att (the grounding
+    # contract, grd_utils.py:13-61), else only the [S, T, N] rows the
+    # decode actually computed — never fabricated rows
+    att_weights: jnp.ndarray
 
 
 def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
@@ -78,7 +81,4 @@ def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
     _, (seqs, lps, att_ws) = jax.lax.scan(step, init, jnp.arange(n_steps))
 
     att = att_ws.transpose(1, 0, 2)
-    if not ecfg.return_att:
-        # keep the [S, T+1, N] contract for shape-stable downstream code
-        att = jnp.concatenate([att, att[:, -1:]], axis=1)
     return SampleOut(seq=seqs[:T].T, logprobs=lps[:T].T, att_weights=att)

@@ -131,6 +131,9 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
     pending = []
     predictions: List[dict] = []
     n_caps = 0
+    # seeded locally: debug output stays reproducible run-to-run and the
+    # global numpy stream is left untouched mid-eval
+    vb_rng = np.random.RandomState(2019) if ecfg.verbose_beam else None
 
     def drain_one():
         nonlocal n_caps
@@ -166,7 +169,7 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
             if ecfg.verbose_beam and "all_beams" in out and n:
                 # one random kept sub-graph's full beam list per image
                 # (eval_utils.py:124-130)
-                i = int(np.random.choice(n))
+                i = int(vb_rng.choice(n))
                 beams = decode_sequence(
                     vocab, out["all_beams"][bi][i],
                     remove_bad_endings=ecfg.remove_bad_endings)

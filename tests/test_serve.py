@@ -8,7 +8,7 @@ import jax
 import pytest
 
 from subgc_tpu.cli.serve import (ModelRegistry, ModelService, build_service,
-                                 serve)
+                                 parse_checkpoint_spec, serve)
 from subgc_tpu.config import EvalConfig, ModelConfig
 from subgc_tpu.models.params import init_params
 
@@ -39,6 +39,24 @@ def _post(url, payload):
                                  {"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=300) as resp:
         return json.loads(resp.read())
+
+
+def test_parse_checkpoint_spec(tmp_path):
+    # NAME=dir form
+    assert parse_checkpoint_spec("kar=/ckpts/run1") == ("kar", "/ckpts/run1")
+    # bare path -> basename becomes the name
+    assert parse_checkpoint_spec("/ckpts/run1") == ("run1", "/ckpts/run1")
+    assert parse_checkpoint_spec("/ckpts/run1/") == ("run1", "/ckpts/run1/")
+    # '=' inside the path must not be treated as a name separator
+    assert parse_checkpoint_spec("/ckpts/lr=5e-4/run") == \
+        ("run", "/ckpts/lr=5e-4/run")
+    assert parse_checkpoint_spec("m=/ckpts/lr=5e-4/run") == \
+        ("m", "/ckpts/lr=5e-4/run")
+    # a spec that IS an existing directory is always a bare path, even if
+    # its own name contains '=' with no separator in the prefix
+    d = tmp_path / "lr=5e-4"
+    d.mkdir()
+    assert parse_checkpoint_spec(str(d)) == ("lr=5e-4", str(d))
 
 
 def test_healthz(server):
@@ -198,6 +216,18 @@ def test_model_routing(registry_server):
                for w in c.split())
     assert all(w.startswith("m") for c in r_mrnn["captions"]
                for w in c.split())
+
+
+def test_warmup_compiles_default_program(registry_server):
+    """ModelService.warmup pushes one dummy image through the default-dtype
+    program (the CLI calls it before opening the port so the first real
+    request doesn't pay the compile)."""
+    _, _, registry = registry_server
+    svc = registry.models["mrnn"]
+    handle = svc._handle(svc.default_dtype)
+    before = handle.batcher.dispatch_count
+    svc.warmup()
+    assert handle.batcher.dispatch_count == before + 1
 
 
 def test_unknown_model_is_400(registry_server):

@@ -141,8 +141,10 @@ def test_sample_parity(ref, tiny_cfg, rng_np, beam_size):
         seq_t, _, score_t, keep_t = out
 
     graph = _jax_graph(b)
+    # return_att mirrors the torch eval_kwargs above: the greedy path must
+    # produce the full [S, T+1, N] attention stack for comparison
     ecfg = EvalConfig(beam_size=beam_size, gpn_nms_thres=nms_thres,
-                      gpn_max_subg=max_subg)
+                      gpn_max_subg=max_subg, return_att=beam_size == 1)
     enc = subgc.encode_image(params, state, graph, b["subs"], cfg, ecfg)
 
     n_keep = int(np.asarray(enc.keep_valid).sum())
