@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -48,7 +49,6 @@ def parse_checkpoint_spec(spec: str) -> tuple:
     look like a name (no path separator) and the whole spec must not itself
     be an existing directory.  A missing name defaults to the path's
     basename."""
-    import os
     name, eq, rest = spec.partition("=")
     if eq and os.sep not in name and not os.path.isdir(spec):
         path = rest
@@ -332,8 +332,6 @@ def main(argv=None):
                         "(docs/PERF.md), float32 restores bitwise-parity "
                         "decode")
     args = p.parse_args(argv)
-
-    import os
 
     import jax
     import jax.numpy as jnp

@@ -154,3 +154,46 @@ def generate_dataset(root: str, n_images: int = 12, vocab_size: int = 60,
             "n_obj_classes": n_obj_classes, "n_rel_classes": n_rel_classes,
             "vocab_size": vocab_size, "seq_length": seq_length,
             "feat_dim": feat_dim}
+
+
+def synthetic_train_batch(cfg, batch_images: int, seed: int = 0):
+    """An in-memory production-dim TrainBatch of random data for benchmarks
+    and rooflines (bench.py BENCH_PRESET=train, tools/profile_train_step.py
+    — one definition so their measured programs stay identical).
+
+    Shapes mirror the real loader's contract (data/dataset.py): 5 sentences
+    per image, 2 pos + 2 neg sub-graphs per sentence, labels [S, T+2] with
+    BOS/EOS zero slots, 36 detections per image.
+    """
+    import jax.numpy as jnp
+
+    from ..graph import SceneGraph
+    from ..train.step import TrainBatch
+
+    rng = np.random.RandomState(seed)
+    B, N, K = batch_images, cfg.obj_num, cfg.rel_num
+    S, half = B * 5, 2
+    graph = SceneGraph(
+        obj_fmap=jnp.asarray(rng.rand(B, N, cfg.att_feat_size), jnp.float32),
+        obj_dist=jnp.asarray(rng.rand(B, N, cfg.num_obj_classes),
+                             jnp.float32),
+        rel_ind=jnp.asarray(rng.randint(0, N - 1, (B, K, 2)), jnp.int32),
+        pred_dist=jnp.asarray(rng.rand(B, K, cfg.num_rel_classes),
+                              jnp.float32))
+    soi = np.full((S, 2, half, N), N - 1, np.int32)
+    sam = np.zeros((S, 2, half, N), np.float32)
+    for s in range(S):
+        for p in range(2):
+            for h in range(half):
+                n = rng.randint(3, 9)
+                soi[s, p, h, :n] = rng.choice(N - 1, n, replace=False)
+                sam[s, p, h, :n] = 1
+    labels = np.zeros((S, cfg.seq_length + 2), np.int64)
+    labels[:, 1:13] = rng.randint(1, cfg.vocab_size, (S, 12))
+    masks = np.zeros((S, cfg.seq_length + 2), np.float32)
+    masks[:, :14] = 1
+    return TrainBatch(
+        graph=graph, labels=jnp.asarray(labels, jnp.int32),
+        masks=jnp.asarray(masks), sub_obj_ind=jnp.asarray(soi),
+        sub_att_mask=jnp.asarray(sam),
+        img_ix=jnp.asarray(np.repeat(np.arange(B, dtype=np.int32), 5)))

@@ -163,8 +163,10 @@ def _init_group(params, feats_one, bdash, cfg):
 
 def _beam_search_one(params, feats_one: D.PreparedFeatures, cfg: ModelConfig,
                      ecfg: EvalConfig) -> BeamOut:
-    """(Diverse) beam search for one sub-graph (unbatched features)."""
-    params = D.cast_decoder_weights(params, cfg)
+    """(Diverse) beam search for one sub-graph (unbatched features).
+
+    Expects params already through cast_decoder_weights (+ optional
+    fold/merge tables) — beam_search does that once per dispatch."""
     G = ecfg.group_size
     bdash = ecfg.beam_size // G
     T = cfg.seq_length

@@ -77,9 +77,10 @@ def cast_decoder_weights(params, cfg: ModelConfig):
               "alpha_net", "logit"]:
         dec[k] = {"w": dec[k]["w"].astype(dt), "b": dec[k]["b"]}
     for k in ["att_lstm", "lang_lstm"]:
-        dec[k] = {"w_ih": dec[k]["w_ih"].astype(dt),
-                  "w_hh": dec[k]["w_hh"].astype(dt),
-                  "b_ih": dec[k]["b_ih"], "b_hh": dec[k]["b_hh"]}
+        # cast every weight key, preserving derived tables (e.g. the
+        # merge_lstm_weights w_cat) so a re-cast never drops them
+        dec[k] = {kk: v.astype(dt) if kk.startswith("w") else v
+                  for kk, v in dec[k].items()}
     return {**params, "decoder": dec}
 
 

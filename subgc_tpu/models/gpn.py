@@ -79,9 +79,10 @@ def bce_loss(scores, targets, eps_clamp: float = 100.0, logits=None):
         log_s = jnp.clip(-jax.nn.softplus(-logits), -eps_clamp)
         log_1s = jnp.clip(-jax.nn.softplus(logits), -eps_clamp)
     else:
-        log_s = jnp.clip(jnp.log(jnp.maximum(scores, 1e-38)), -eps_clamp)
-        log_1s = jnp.clip(jnp.log(jnp.maximum(1.0 - scores, 1e-38)),
-                          -eps_clamp)
+        # torch clamps the log OUTPUT at -100 (log(0) = -inf -> -100);
+        # log1p keeps precision for scores near 0 on the negative class
+        log_s = jnp.clip(jnp.log(scores), -eps_clamp)
+        log_1s = jnp.clip(jnp.log1p(-scores), -eps_clamp)
     return -(targets * log_s + (1.0 - targets) * log_1s).mean()
 
 

@@ -13,6 +13,31 @@ from collections import defaultdict
 from typing import Dict
 
 
+def decode_flops_per_row(cfg) -> int:
+    """Analytic matmul FLOPs of ONE decode-step row (one beam/sub-graph slot
+    for one token step) at config dims.
+
+    This is the single source of truth for the bench/profiler MFU numbers:
+    XLA's ``cost_analysis()`` counts while-loop bodies once, undercounting a
+    T-step decode scan ~16x (docs/PERF.md round 3), so throughput artifacts
+    count decode FLOPs analytically with this formula instead.  Terms match
+    the split-matmul decode step in models/decoder.py::decode_step; the
+    optional fold/merge variants shuffle the same FLOPs between matmuls
+    without changing the total (fold removes the xt matmul but is
+    off-by-default and excluded here — counts stay conservative).
+    """
+    R, E, H, N = (cfg.rnn_size, cfg.input_encoding_size, cfg.att_hid_size,
+                  cfg.obj_num)
+    V1 = cfg.vocab_size + 1
+    return (2 * R * 4 * R          # att-LSTM h_lang @ w_ih[:R]
+            + 2 * E * 4 * R        # att-LSTM xt @ w_ih[2R:]
+            + 2 * R * 4 * R        # att-LSTM h_att @ w_hh
+            + 2 * R * H + 2 * N * H + 2 * N * R   # additive attention
+            + 2 * 2 * R * 4 * R    # lang-LSTM [att_res, h_att] @ w_ih
+            + 2 * R * 4 * R        # lang-LSTM h_lang @ w_hh
+            + 2 * R * V1)          # logit projection
+
+
 class PhaseTimers:
     """Accumulating named timers (host wall-clock)."""
 

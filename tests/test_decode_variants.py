@@ -1,0 +1,93 @@
+"""Decode-step weight-layout variants (fold_embed_ih / merge_lstm_matmuls).
+
+Both are measured-and-rejected-by-default options (docs/PERF.md round 3)
+that must stay CORRECT while switched off: the fold table is an exact
+reformulation (relu commutes with the row gather), the merged matmul a
+float-reassociated one.  Also pins that cast_decoder_weights preserves
+derived tables — a re-cast used to silently drop w_cat, making
+merge_lstm_matmuls a no-op under bf16 beam search.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from subgc_tpu.config import EvalConfig
+from subgc_tpu.decode import beam
+from subgc_tpu.models import decoder as D
+
+
+def _feats(cfg, rng_np, S=6):
+    return D.PreparedFeatures(
+        fc=jnp.asarray(rng_np.randn(S, cfg.rnn_size), jnp.float32),
+        att=jnp.asarray(rng_np.randn(S, cfg.obj_num, cfg.rnn_size),
+                        jnp.float32),
+        p_att=jnp.asarray(rng_np.randn(S, cfg.obj_num, cfg.att_hid_size),
+                          jnp.float32),
+        mask=jnp.asarray((rng_np.rand(S, cfg.obj_num) > 0.3).astype("f")),
+        fc_ih=jnp.asarray(rng_np.randn(S, 4 * cfg.rnn_size), jnp.float32))
+
+
+def test_cast_preserves_derived_tables(tiny_cfg, tiny_params):
+    """Re-casting params must keep fold/merge tables (and cast them)."""
+    params, _ = tiny_params
+    cfg = tiny_cfg.replace(compute_dtype="bfloat16", merge_lstm_matmuls=True)
+    p = D.cast_decoder_weights(params, cfg)
+    p = D.merge_lstm_weights(p, cfg)
+    p = D.fold_embed_ih(p, cfg)
+    p2 = D.cast_decoder_weights(p, cfg)
+    assert "w_cat" in p2["decoder"]["att_lstm"]
+    assert "w_cat" in p2["decoder"]["lang_lstm"]
+    assert "embed_ih" in p2["decoder"]
+    assert p2["decoder"]["att_lstm"]["w_cat"].dtype == jnp.bfloat16
+
+
+def test_fold_embed_ih_beam_tokens(tiny_cfg, tiny_params, rng_np):
+    """Folded per-vocab gate table == live embed matmul (f32 beam)."""
+    params, _ = tiny_params
+    feats = _feats(tiny_cfg, rng_np)
+    ecfg = EvalConfig(beam_size=3)
+    base = beam.beam_search(params, feats, tiny_cfg, ecfg)
+    fold = beam.beam_search(params, feats,
+                            tiny_cfg.replace(fold_embed_ih=True), ecfg)
+    np.testing.assert_array_equal(np.asarray(base.seq), np.asarray(fold.seq))
+    np.testing.assert_allclose(np.asarray(base.all_ps),
+                               np.asarray(fold.all_ps), rtol=1e-5, atol=1e-6)
+
+
+def test_merge_lstm_matmuls_step(tiny_cfg, tiny_params, rng_np):
+    """Merged [.,3R]@[3R,4R] gate matmul ~= split matmuls, one decode step
+    (float-reassociated, so allclose rather than bitwise)."""
+    params, _ = tiny_params
+    cfg_m = tiny_cfg.replace(merge_lstm_matmuls=True)
+    feats = _feats(tiny_cfg, rng_np)
+    state = D.init_state(6, tiny_cfg)
+    tok = jnp.asarray(rng_np.randint(0, tiny_cfg.vocab_size, (6,)), jnp.int32)
+    lp_a, st_a, _ = D.decode_step(params, state, tok, feats, tiny_cfg)
+    pm = D.merge_lstm_weights(params, cfg_m)
+    lp_b, st_b, _ = D.decode_step(pm, state, tok, feats, cfg_m)
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_a.h_lang),
+                               np.asarray(st_b.h_lang), rtol=2e-5, atol=2e-6)
+
+
+def test_merge_lstm_matmuls_bf16_beam_runs_merged(tiny_cfg, tiny_params,
+                                                  rng_np):
+    """bf16 beam search with merge on actually RUNS the merged program
+    (the regression: _beam_search_one's re-cast dropped w_cat, silently
+    falling back to split matmuls) — tokens must match the f32 merge path's
+    structure and the program must accept merged params end-to-end."""
+    params, _ = tiny_params
+    cfg = tiny_cfg.replace(compute_dtype="bfloat16", bf16_lstm_gates=True,
+                           merge_lstm_matmuls=True)
+    feats = _feats(tiny_cfg, rng_np)
+    out = beam.beam_search(params, feats, cfg, EvalConfig(beam_size=3))
+    assert np.asarray(out.seq).shape == (6, tiny_cfg.seq_length)
+    # and the split bf16 program agrees on >=80% of tokens (same contract
+    # as tests/test_bf16.py for reassociated bf16 variants)
+    base = beam.beam_search(params, feats,
+                            tiny_cfg.replace(compute_dtype="bfloat16",
+                                             bf16_lstm_gates=True),
+                            EvalConfig(beam_size=3))
+    a, b = np.asarray(out.seq), np.asarray(base.seq)
+    assert (a == b).mean() > 0.8

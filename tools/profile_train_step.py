@@ -30,61 +30,33 @@ def main():
     enable_compilation_cache()
 
     from subgc_tpu.config import ModelConfig, TrainConfig
-    from subgc_tpu.graph import SceneGraph
+    from subgc_tpu.data.synthetic import synthetic_train_batch
     from subgc_tpu.models import decoder as D
     from subgc_tpu.models import subgc
     from subgc_tpu.models.params import init_params
     from subgc_tpu.train.loss import language_model_loss
     from subgc_tpu.train.optim import build_optimizer
-    from subgc_tpu.train.step import (TrainBatch, init_train_state,
-                                      make_train_step)
+    from subgc_tpu.train.step import init_train_state, make_train_step
+    from subgc_tpu.utils.profiling import decode_flops_per_row
 
     B = int(os.environ.get("PROFILE_BATCH", "64"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype)
     tcfg = TrainConfig(batch_size=B)
     params, mstate = init_params(jax.random.PRNGKey(0), cfg,
-                                 n_obj_names=1599, n_pred_names=21)
+                                 n_obj_names=cfg.num_obj_classes,
+                                 n_pred_names=cfg.num_rel_classes)
     optimizer = build_optimizer(tcfg)
     ts = init_train_state(params, mstate, optimizer)
     step = make_train_step(cfg, tcfg, optimizer)
 
-    rng = np.random.RandomState(0)
-    N, K = cfg.obj_num, cfg.rel_num
-    S, half = B * 5, 2
-    graph = SceneGraph(
-        obj_fmap=jnp.asarray(rng.rand(B, N, 2048), jnp.float32),
-        obj_dist=jnp.asarray(rng.rand(B, N, 1599), jnp.float32),
-        rel_ind=jnp.asarray(rng.randint(0, N - 1, (B, K, 2)), jnp.int32),
-        pred_dist=jnp.asarray(rng.rand(B, K, 21), jnp.float32))
-    soi = np.full((S, 2, half, N), N - 1, np.int32)
-    sam = np.zeros((S, 2, half, N), np.float32)
-    for s in range(S):
-        for p in range(2):
-            for h in range(half):
-                n = rng.randint(3, 9)
-                soi[s, p, h, :n] = rng.choice(N - 1, n, replace=False)
-                sam[s, p, h, :n] = 1
-    labels = np.zeros((S, cfg.seq_length + 2), np.int64)
-    labels[:, 1:13] = rng.randint(1, cfg.vocab_size, (S, 12))
-    masks = np.zeros((S, cfg.seq_length + 2), np.float32)
-    masks[:, :14] = 1
-    img_ix = np.repeat(np.arange(B, dtype=np.int32), 5)
-    batch = TrainBatch(graph=graph, labels=jnp.asarray(labels, jnp.int32),
-                       masks=jnp.asarray(masks),
-                       sub_obj_ind=jnp.asarray(soi),
-                       sub_att_mask=jnp.asarray(sam),
-                       img_ix=jnp.asarray(img_ix))
+    S = B * 5
+    batch = synthetic_train_batch(cfg, B)
     key = jax.random.PRNGKey(2)
 
-    # analytic decode FLOPs (see bench.py; per row per step)
-    R, E, H = cfg.rnn_size, cfg.input_encoding_size, cfg.att_hid_size
-    V1 = cfg.vocab_size + 1
-    per_row_step = (2 * R * 4 * R + 2 * E * 4 * R + 2 * R * 4 * R
-                    + 2 * R * H + 2 * N * H + 2 * N * R
-                    + 2 * 2 * R * 4 * R + 2 * R * 4 * R + 2 * R * V1)
+    # analytic decode FLOPs (one definition: utils/profiling.py)
     n_steps = cfg.seq_length + 1
-    dec_fwd_flops = S * n_steps * per_row_step
+    dec_fwd_flops = S * n_steps * decode_flops_per_row(cfg)
 
     # --- phase programs -------------------------------------------------
     def enc_prep(params, mstate, batch, r):

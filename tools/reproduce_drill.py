@@ -154,11 +154,14 @@ def main(argv=None):
     from subgc_tpu.config import DataConfig, ModelConfig
     from subgc_tpu.data.dataset import EvalLoader
 
-    common_data = ["--input_json", man["input_json"],
-                   "--input_label_h5", man["input_label_h5"],
-                   "--sg_dir", man["sg_dir"], "--mask_dir", man["mask_dir"],
-                   "--obj_name_path", man["obj_name_path"],
-                   "--rel_name_path", man["rel_name_path"]]
+    # data_flags: the dataset paths every CLI needs; name_flags: the GloVe
+    # name tables the grounding prepass must omit (it fabricates classes)
+    data_flags = ["--input_json", man["input_json"],
+                  "--input_label_h5", man["input_label_h5"],
+                  "--sg_dir", man["sg_dir"], "--mask_dir", man["mask_dir"]]
+    name_flags = ["--obj_name_path", man["obj_name_path"],
+                  "--rel_name_path", man["rel_name_path"]]
+    common_data = data_flags + name_flags
 
     # the CLIs read data/*.npy lookup tables relative to CWD (the
     # reference's convention) — stage them and run from the drill dir
@@ -208,7 +211,7 @@ def main(argv=None):
         with timer("grounding_prepass"):
             test_cli.main(["Sub_GC_Flickr_GRD", "--checkpoint_path",
                            ckpts["Sub_GC_Kar"], "--iter_tag", "pre"]
-                          + grd_flags + common_data[:8])
+                          + grd_flags + data_flags)
         blob = json.load(open(os.path.join(ckpts["Sub_GC_Kar"],
                                            "grounding_file.json")))
         ref = []
