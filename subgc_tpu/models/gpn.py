@@ -176,12 +176,36 @@ def pairwise_node_iou(mem):
 
 
 def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
-                 iou_thres: float, max_keep: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 iou_thres: float, max_keep: int,
+                 parallel: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy score-descending sub-graph NMS, fully on device (gpn.py:108-138).
 
     Returns (keep_ind [max_keep] int32 in ascending *original* order — the
     reference keeps original score order via `orig_keep.nonzero()` — and
     keep_valid [max_keep] bool).
+
+    Two exact-equivalent implementations (fuzz-pinned against each other in
+    tests/test_nms_parallel.py):
+
+    * default: confirm-one-keep-per-iteration fori_loop (max_keep
+      iterations).  The greedy-prefix property makes this exactly the
+      reference's full suppression sweep (gpn.py:121-130) truncated to
+      max_keep (gpn.py:133-135): the first k kept items of full NMS are the
+      k items the loop confirms.  MEASURED FASTER on v5e at the M-RNN shape
+      ([4,1024] keep 1000: 35us vs 201us/dispatch) — the [S,S] IoU matrix is
+      VMEM-resident, so the 1000 dependent iterations are cheap and NMS is
+      nowhere near the mrnn bottleneck (docs/PERF.md round 3).
+    * ``parallel=True``: **parallel fixpoint**.  In score order, the
+      full-NMS keep set is the unique fixpoint of ``k[i] = valid[i] &
+      ~any(j<i: k[j] & iou[j,i] > thres)`` (unique by induction over i —
+      the suppression relation is strictly upper-triangular).  Jacobi
+      iteration from ``k0 = valid`` makes every item of decision depth d
+      (longest suppression chain ending at it) correct and stable after d
+      rounds, so a while_loop with an equality stop and an S-round cap
+      returns exactly the greedy keep set in chain-depth rounds of one
+      [S,S] masked matvec each.  The asymptotic escape hatch for shapes
+      whose IoU matrix exceeds VMEM (bucket >= ~2048), where the
+      sequential loop's per-iteration HBM reads would serialize.
     """
     S = scores.shape[0]
     max_keep = min(max_keep, S)   # keep list can't exceed the bucket
@@ -189,29 +213,48 @@ def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
     s = jnp.where(valid, scores, neg_inf)
     order = jnp.argsort(-s)                      # descending, stable on ties
     mem = node_membership(sub_obj_ind, sub_att_mask, cfg.obj_num)
-    iou = pairwise_node_iou(mem)
-    iou_sorted = iou[order][:, order]
     valid_sorted = valid[order]
-    # keep XLA from refusing the [S,S] double-gather into the loop body
-    iou_sorted = jax.lax.optimization_barrier(iou_sorted)
 
-    # Greedy NMS, one confirmed keep per iteration.  The greedy-prefix
-    # property makes this exactly equivalent to running the reference's full
-    # suppression sweep (gpn.py:121-130) and then truncating to max_keep
-    # (gpn.py:133-135): the first k kept items of full NMS are the k items
-    # this loop confirms.  max_keep iterations instead of S.
-    def body(t, carry):
-        alive, keep = carry
-        any_alive = alive.any()
-        i = jnp.argmax(alive)                    # first alive = best score
-        keep = keep.at[i].set(keep[i] | any_alive)
-        suppress = iou_sorted[i] > iou_thres
-        alive = alive & ~suppress
-        alive = alive.at[i].set(False)
-        return alive, keep
+    if not parallel:
+        iou = pairwise_node_iou(mem)
+        iou_sorted = iou[order][:, order]
+        # keep XLA from refusing the [S,S] double-gather into the loop body
+        iou_sorted = jax.lax.optimization_barrier(iou_sorted)
 
-    _, keep_sorted = jax.lax.fori_loop(
-        0, max_keep, body, (valid_sorted, jnp.zeros((S,), bool)))
+        def body(t, carry):
+            alive, keep = carry
+            any_alive = alive.any()
+            i = jnp.argmax(alive)                # first alive = best score
+            keep = keep.at[i].set(keep[i] | any_alive)
+            suppress = iou_sorted[i] > iou_thres
+            alive = alive & ~suppress
+            alive = alive.at[i].set(False)
+            return alive, keep
+
+        _, keep_sorted = jax.lax.fori_loop(
+            0, max_keep, body, (valid_sorted, jnp.zeros((S,), bool)))
+    else:
+        iou_sorted = pairwise_node_iou(mem[order])
+        # suppress[j, i]: valid j earlier in score order, IoU above threshold
+        sup = ((iou_sorted > iou_thres)
+               & (jnp.arange(S)[:, None] < jnp.arange(S)[None, :])
+               & valid_sorted[:, None]).astype(jnp.float32)
+
+        def cond(c):
+            k, prev, it = c
+            return jnp.logical_and(it < S, jnp.any(k != prev))
+
+        def body(c):
+            k, _, it = c
+            hit = (k.astype(jnp.float32) @ sup) > 0.0
+            return valid_sorted & ~hit, k, it + 1
+
+        keep_sorted, _, _ = jax.lax.while_loop(
+            cond, body, (valid_sorted, ~valid_sorted, jnp.int32(0)))
+        # full-NMS keep truncated to the max_keep best (greedy-prefix
+        # property, as above): clear everything past the max_keep-th keep
+        rank = jnp.cumsum(keep_sorted) - 1       # keep's 0-based score rank
+        keep_sorted = keep_sorted & (rank < max_keep)
 
     # back to original indices, ascending original order
     idx = jnp.arange(S)
