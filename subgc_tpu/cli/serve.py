@@ -29,6 +29,11 @@ micro-batch queue (requests of different dtypes cannot share a dispatch).
 program compiles lazily on its first request.  Multiple ``--checkpoint_path``
 flags serve several models behind one endpoint, routed by the request's
 ``model`` field — e.g. a COCO Karpathy-split captioner next to an M-RNN one.
+``--replicas N`` places N copies of each model on the first N attached
+devices and round-robins requests across them: each replica keeps its own
+micro-batch queue, so the chips fill and run in parallel (throughput scales
+with chips for single-model serving, where data-parallel sharding of one
+dispatch would only shrink its batch).
 """
 from __future__ import annotations
 
@@ -59,13 +64,17 @@ def parse_checkpoint_spec(spec: str) -> tuple:
 
 def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                   microbatch_wait_ms: float = 3.0,
-                  adaptive_wait: bool = False):
+                  adaptive_wait: bool = False, device=None):
     """Returns handle(images_payload) -> results list.
 
     Concurrent requests coalesce into shared device dispatches via
     MicroBatcher (the jitted program has a static batch axis, so a full
     batch costs the same as a padded single image).  handle.batcher is
-    exposed for observability (dispatch_count)."""
+    exposed for observability (dispatch_count).
+
+    device: optional jax.Device to pin this service's params and dispatches
+    to — the building block for multi-replica serving (one handle per chip;
+    execution follows the committed params placement)."""
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +86,9 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
     from ..utils.text import decode_sequence
 
     infer = make_batched_infer_fn(mcfg, ecfg)
+    if device is not None:
+        params = jax.device_put(params, device)
+        state = jax.device_put(state, device)
     bucket = ecfg.max_subgraph_bucket
 
     def to_example(img):
@@ -120,10 +132,12 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                              for i in range(4)])
         subs = SubgraphSet(*[np.stack([np.asarray(g[1][i]) for g in examples])
                              for i in range(4)])
+        to_dev = ((lambda x: jax.device_put(x, device))
+                  if device is not None else jnp.asarray)
         out = jax.device_get(infer(
             params, state,
-            jax.tree_util.tree_map(jnp.asarray, graph),
-            jax.tree_util.tree_map(jnp.asarray, subs),
+            jax.tree_util.tree_map(to_dev, graph),
+            jax.tree_util.tree_map(to_dev, subs),
             jax.random.PRNGKey(0)))
         return [{k: out[k][bi] for k in ("seq", "scores", "keep_valid")}
                 for bi in range(n_real)]
@@ -157,6 +171,31 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
 _DTYPES = ("float32", "bfloat16")
 
 
+class _ReplicaSet:
+    """Round-robin dispatcher over per-device service handles.
+
+    Each replica keeps its own MicroBatcher, so concurrent requests
+    coalesce per chip and the chips run genuinely in parallel; a request's
+    images all go to one replica (no cross-device split of a single
+    request).  Exposes .batcher (first replica's, for the single-replica
+    observability contract) and .handles."""
+
+    def __init__(self, handles):
+        self.handles = list(handles)
+        self._next = 0
+        self._lock = threading.Lock()
+
+    @property
+    def batcher(self):
+        return self.handles[0].batcher
+
+    def __call__(self, images):
+        with self._lock:
+            i = self._next
+            self._next = (self._next + 1) % len(self.handles)
+        return self.handles[i](images)
+
+
 class ModelService:
     """One loaded checkpoint servable under per-request compute dtype.
 
@@ -167,20 +206,27 @@ class ModelService:
     dispatch — call :meth:`warmup` (the CLI does, before opening the port)
     to pay the compile and the tunnel's one-time execution setup up front;
     the non-default dtype always compiles lazily on its first request.
+
+    devices: optional list of jax.Device — one service replica per device
+    (params copied to each), requests routed round-robin.  None = default
+    placement, single replica (the single-chip behavior, unchanged).
     """
 
     def __init__(self, params, state, mcfg, ecfg, vocab,
                  default_dtype: str = "bfloat16", batch_images: int = 8,
                  microbatch_wait_ms: float = 3.0,
-                 adaptive_wait: bool = False):
+                 adaptive_wait: bool = False, devices=None):
         if default_dtype not in _DTYPES:
             raise ValueError(f"default_dtype must be one of {_DTYPES}")
+        if devices is not None and len(devices) == 0:
+            raise ValueError("devices must be None or non-empty")
         self.params, self.state, self.vocab = params, state, vocab
         # base config with dtype fields neutralized; variants derive from it
         self.mcfg = mcfg.replace(compute_dtype="float32",
                                  bf16_lstm_gates=False)
         self.ecfg = ecfg
         self.default_dtype = default_dtype
+        self.devices = devices
         self._kw = dict(batch_images=batch_images,
                         microbatch_wait_ms=microbatch_wait_ms,
                         adaptive_wait=adaptive_wait)
@@ -194,9 +240,16 @@ class ModelService:
                 mcfg = self.mcfg.replace(
                     compute_dtype=dtype,
                     bf16_lstm_gates=dtype == "bfloat16")
-                self._handles[dtype] = build_service(
-                    self.params, self.state, mcfg, self.ecfg, self.vocab,
-                    **self._kw)
+                if self.devices is None:
+                    self._handles[dtype] = build_service(
+                        self.params, self.state, mcfg, self.ecfg,
+                        self.vocab, **self._kw)
+                else:
+                    self._handles[dtype] = _ReplicaSet([
+                        build_service(self.params, self.state, mcfg,
+                                      self.ecfg, self.vocab, device=d,
+                                      **self._kw)
+                        for d in self.devices])
             return self._handles[dtype]
 
     def __call__(self, images, dtype: str | None = None):
@@ -206,23 +259,25 @@ class ModelService:
         return self._handle(dtype)(images)
 
     def warmup(self):
-        """Run one dummy image through the default-dtype program so the
-        first real request doesn't pay the XLA compile (nor, on the axon
-        tunnel, the minutes-long first-execution setup)."""
+        """Run one dummy image through the default-dtype program (per
+        replica) so the first real request doesn't pay the XLA compile
+        (nor, on the axon tunnel, the minutes-long first-execution setup)."""
         mcfg, n, k = self.mcfg, 4, 3
         rng = np.random.RandomState(0)
-        self([{"object_fmap": rng.rand(n, mcfg.att_feat_size),
-               "object_dist": rng.rand(n, mcfg.num_obj_classes),
-               "rel_ind": rng.randint(0, n, (k, 2)),
-               "pred_dist": rng.rand(k, mcfg.num_rel_classes),
-               "subgraphs": [{"nodes": [0, 1], "rels": [0]}]}])
+        for _ in range(len(self.devices) if self.devices else 1):
+            self([{"object_fmap": rng.rand(n, mcfg.att_feat_size),
+                   "object_dist": rng.rand(n, mcfg.num_obj_classes),
+                   "rel_ind": rng.randint(0, n, (k, 2)),
+                   "pred_dist": rng.rand(k, mcfg.num_rel_classes),
+                   "subgraphs": [{"nodes": [0, 1], "rels": [0]}]}])
 
     def describe(self) -> dict:
         return {"default_dtype": self.default_dtype,
                 "compiled_dtypes": sorted(self._handles),
                 "beam_size": self.ecfg.beam_size,
                 "bucket": self.ecfg.max_subgraph_bucket,
-                "vocab_size": self.mcfg.vocab_size}
+                "vocab_size": self.mcfg.vocab_size,
+                "replicas": len(self.devices) if self.devices else 1}
 
 
 class ModelRegistry:
@@ -325,6 +380,11 @@ def main(argv=None):
                         "rate (microbatch_wait_ms becomes the cap): waits "
                         "just long enough for the batch to plausibly fill, "
                         "~zero when traffic is sparse")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="serve N copies of each model, one per attached "
+                        "device (jax.devices()[:N]), requests routed "
+                        "round-robin — per-chip micro-batching, chips run "
+                        "in parallel")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "
@@ -340,6 +400,14 @@ def main(argv=None):
     from ..train import checkpoint as C
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    devices = None
+    if args.replicas > 1:
+        avail = jax.devices()
+        if args.replicas > len(avail):
+            raise SystemExit(f"--replicas {args.replicas} > "
+                             f"{len(avail)} attached devices")
+        devices = avail[:args.replicas]
 
     registry = ModelRegistry()
     for spec in args.checkpoint_path:
@@ -359,7 +427,7 @@ def main(argv=None):
             default_dtype=args.compute_dtype,
             batch_images=args.batch_images,
             microbatch_wait_ms=args.microbatch_wait_ms,
-            adaptive_wait=args.adaptive_wait))
+            adaptive_wait=args.adaptive_wait, devices=devices))
 
     for name, svc in registry.models.items():
         print(f"warming {name} ({svc.default_dtype})...", flush=True)

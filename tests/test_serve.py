@@ -271,3 +271,47 @@ def test_per_request_dtype(registry_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+def test_replicated_service():
+    """devices=[d0, d1]: per-replica params placement, round-robin routing,
+    identical results to the single-replica service, warmup touches every
+    replica."""
+    cfg = ModelConfig(vocab_size=30, rnn_size=48, input_encoding_size=32,
+                      att_hid_size=24, gcn_dim=32, fc_feat_size=48,
+                      att_feat_size=64, embed_dim=16, num_obj_classes=12,
+                      num_rel_classes=6)
+    params, state = init_params(jax.random.PRNGKey(0), cfg,
+                                n_obj_names=12, n_pred_names=6)
+    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4,
+                      max_subgraph_bucket=16)
+    vocab = {str(i): f"w{i}" for i in range(1, 31)}
+    devs = jax.devices()[:2]
+    assert len(devs) == 2, "conftest provides 8 virtual devices"
+    kw = dict(default_dtype="float32", batch_images=2,
+              microbatch_wait_ms=5.0)
+    rep = ModelService(params, state, cfg, ecfg, vocab, devices=devs, **kw)
+    single = ModelService(params, state, cfg, ecfg, vocab, **kw)
+    assert rep.describe()["replicas"] == 2
+    assert single.describe()["replicas"] == 1
+
+    rng = np.random.RandomState(11)
+    imgs = [_image(cfg, rng, i) for i in range(4)]
+    # each request round-robins to the next replica; results must not
+    # depend on which replica served them
+    got = [rep([img])[0] for img in imgs]
+    want = [single([img])[0] for img in imgs]
+    for g, w in zip(got, want):
+        assert g["captions"] == w["captions"]
+        np.testing.assert_allclose(g["scores"], w["scores"], rtol=1e-6)
+
+    handles = rep._handle("float32").handles
+    assert len(handles) == 2
+    counts = [h.batcher.dispatch_count for h in handles]
+    assert all(c >= 1 for c in counts), counts   # both replicas served
+
+    # warmup covers every replica
+    before = [h.batcher.dispatch_count for h in handles]
+    rep.warmup()
+    after = [h.batcher.dispatch_count for h in handles]
+    assert all(a >= b + 1 for a, b in zip(after, before)), (before, after)
