@@ -14,6 +14,8 @@ web-framework dependency):
 
     GET /healthz -> {"ok": true}
     GET /models  -> {"default": ..., "models": {name: {...}}}
+    GET /stats   -> per-model/dtype request+image counts, recent-latency
+                    percentiles, per-replica dispatch/queue-load counters
 
 Requests batch onto the static image/bucket shapes (padded); concurrent
 clients' images coalesce into shared TPU dispatches (utils/microbatch.py),
@@ -41,9 +43,40 @@ import argparse
 import json
 import os
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class LatencyWindow:
+    """Sliding window of recent request latencies (seconds) + lifetime
+    counters; summarized by the /stats endpoint."""
+
+    def __init__(self, size: int = 256):
+        self._samples = deque(maxlen=size)
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.images = 0
+
+    def record(self, seconds: float, n_images: int = 1):
+        with self._lock:
+            self._samples.append(seconds)
+            self.requests += 1
+            self.images += n_images
+
+    def summary(self) -> dict:
+        with self._lock:
+            s = sorted(self._samples)
+            n = len(s)
+            out = {"requests": self.requests, "images": self.images}
+        if n:
+            out["latency_ms"] = {
+                "mean": round(1e3 * sum(s) / n, 2),
+                "p50": round(1e3 * s[n // 2], 2),
+                "p90": round(1e3 * s[min(n - 1, int(n * 0.9))], 2)}
+        return out
 
 
 def parse_checkpoint_spec(spec: str) -> tuple:
@@ -146,9 +179,12 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                            max_wait_ms=microbatch_wait_ms,
                            adaptive=adaptive_wait)
 
+    latency = LatencyWindow()
+
     def handle(images):
         # split oversized requests so each chunk fits one dispatch; chunks
         # and other clients' images share dispatches
+        t0 = time.monotonic()
         chunks = [[to_example(img) for img in images[i:i + batch_images]]
                   for i in range(0, len(images), batch_images)]
         outs = []
@@ -162,9 +198,11 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
             results.append({"id": img.get("id", len(results)),
                             "captions": sents,
                             "scores": out["scores"][:n][order].tolist()})
+        latency.record(time.monotonic() - t0, len(images))
         return results
 
     handle.batcher = batcher
+    handle.latency = latency
     return handle
 
 
@@ -172,13 +210,15 @@ _DTYPES = ("float32", "bfloat16")
 
 
 class _ReplicaSet:
-    """Round-robin dispatcher over per-device service handles.
+    """Least-loaded dispatcher over per-device service handles.
 
     Each replica keeps its own MicroBatcher, so concurrent requests
     coalesce per chip and the chips run genuinely in parallel; a request's
     images all go to one replica (no cross-device split of a single
-    request).  Exposes .batcher (first replica's, for the single-replica
-    observability contract) and .handles."""
+    request).  Routing picks the replica with the lowest instantaneous
+    queue pressure (MicroBatcher.load), breaking ties round-robin so idle
+    replicas interleave.  Exposes .batcher (first replica's, for the
+    single-replica observability contract) and .handles."""
 
     def __init__(self, handles):
         self.handles = list(handles)
@@ -190,9 +230,12 @@ class _ReplicaSet:
         return self.handles[0].batcher
 
     def __call__(self, images):
+        loads = [h.batcher.load() for h in self.handles]
+        lo = min(loads)
+        candidates = [i for i, l in enumerate(loads) if l == lo]
         with self._lock:
-            i = self._next
-            self._next = (self._next + 1) % len(self.handles)
+            i = candidates[self._next % len(candidates)]
+            self._next += 1
         return self.handles[i](images)
 
 
@@ -279,6 +322,26 @@ class ModelService:
                 "vocab_size": self.mcfg.vocab_size,
                 "replicas": len(self.devices) if self.devices else 1}
 
+    def stats(self) -> dict:
+        """Per-dtype serving counters for GET /stats: request/image counts,
+        recent-latency percentiles, per-replica dispatch/item counts."""
+        out = {}
+        with self._lock:
+            handles = dict(self._handles)
+        for dtype, h in handles.items():
+            reps = h.handles if isinstance(h, _ReplicaSet) else [h]
+            d = {"replicas": [{"dispatches": r.batcher.dispatch_count,
+                               "images": r.batcher.item_count,
+                               "load": r.batcher.load()} for r in reps]}
+            lat = [r.latency.summary() for r in reps]
+            d["requests"] = sum(s["requests"] for s in lat)
+            d["images"] = sum(s["images"] for s in lat)
+            mss = [s["latency_ms"] for s in lat if "latency_ms" in s]
+            if mss:
+                d["latency_ms"] = mss[0] if len(mss) == 1 else mss
+            out[dtype] = d
+        return out
+
 
 class ModelRegistry:
     """Several ModelServices behind one endpoint, routed by request
@@ -307,6 +370,9 @@ class ModelRegistry:
         return {"default": self.default,
                 "models": {n: s.describe() for n, s in self.models.items()}}
 
+    def stats(self) -> dict:
+        return {n: s.stats() for n, s in self.models.items()}
+
 
 class _Handler(BaseHTTPRequestHandler):
     service = None
@@ -328,6 +394,8 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/models" and hasattr(_Handler.service,
                                                 "describe"):
             self._reply(200, _Handler.service.describe())
+        elif self.path == "/stats" and hasattr(_Handler.service, "stats"):
+            self._reply(200, _Handler.service.stats())
         else:
             self._reply(404, {"error": "not found"})
 

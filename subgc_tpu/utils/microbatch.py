@@ -99,6 +99,14 @@ class MicroBatcher:
         self._queue: List[list] = []     # [item, result, error] cells
         self._busy = False
         self.dispatch_count = 0          # observability (tests/metrics)
+        self.item_count = 0              # total items across dispatches
+
+    def load(self) -> int:
+        """Instantaneous queue pressure: queued items, plus a full batch
+        when a dispatch is in flight.  Used by least-loaded routing across
+        replicas (cli/serve.py::_ReplicaSet)."""
+        with self._cv:
+            return len(self._queue) + (self._max if self._busy else 0)
 
     def submit(self, item):
         return self.submit_many([item])[0]
@@ -137,6 +145,7 @@ class MicroBatcher:
                 del self._queue[:len(batch)]
                 self._busy = True
                 self.dispatch_count += 1
+                self.item_count += len(batch)
                 cv.release()
                 results, err = None, None
                 try:

@@ -315,3 +315,45 @@ def test_replicated_service():
     rep.warmup()
     after = [h.batcher.dispatch_count for h in handles]
     assert all(a >= b + 1 for a, b in zip(after, before)), (before, after)
+
+
+def test_stats_endpoint(registry_server):
+    """GET /stats reports request/image counts and latency percentiles per
+    model and dtype after traffic."""
+    base, cfg, registry = registry_server
+    img = _image(cfg, np.random.RandomState(12), 9)
+    _post(base + "/caption", {"images": [img], "model": "kar"})
+    with urllib.request.urlopen(base + "/stats", timeout=60) as resp:
+        stats = json.loads(resp.read())
+    assert set(stats) == set(registry.models)
+    kar = stats["kar"]["float32"]
+    assert kar["requests"] >= 1 and kar["images"] >= 1
+    assert "latency_ms" in kar and kar["latency_ms"]["p50"] > 0
+    assert kar["replicas"][0]["dispatches"] >= 1
+    assert kar["replicas"][0]["load"] == 0      # idle after the request
+
+
+def test_least_loaded_routing():
+    """_ReplicaSet routes to the replica with the lowest queue pressure;
+    idle replicas interleave round-robin."""
+    from subgc_tpu.cli.serve import _ReplicaSet
+
+    class FakeBatcher:
+        def __init__(self, load):
+            self._load = load
+            self.dispatch_count = self.item_count = 0
+
+        def load(self):
+            return self._load
+
+    def handle(tag, batcher):
+        h = lambda images: tag
+        h.batcher = batcher
+        return h
+
+    busy, idle = FakeBatcher(8), FakeBatcher(0)
+    rs = _ReplicaSet([handle("busy", busy), handle("idle", idle)])
+    assert [rs([None]) for _ in range(3)] == ["idle"] * 3
+    # equal load -> alternate
+    idle._load = 8
+    assert sorted({rs([None]), rs([None])}) == ["busy", "idle"]
