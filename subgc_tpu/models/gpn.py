@@ -125,8 +125,7 @@ def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
 
 class GPNTestOut(NamedTuple):
     scores: jnp.ndarray      # [S]
-    att_feats: jnp.ndarray   # [S, N, L]
-    fc_feats: jnp.ndarray    # [S, 2L]
+    read_out: jnp.ndarray    # [S, 2L] pooled read-out (pre-projection)
     att_masks: jnp.ndarray   # [S, N]
 
 
@@ -155,8 +154,10 @@ def gpn_test_forward(params, x_obj_img, sub_obj_ind, sub_att_mask,
         scores = gpn_score(params, read_out, cfg, train=False)
     else:
         scores = jnp.ones((sub_obj_ind.shape[0],), jnp.float32)
-    fc_feats = readout_project(params, read_out)
-    return GPNTestOut(scores=scores, att_feats=None, fc_feats=fc_feats,
+    # the fc projection (read_out_proj) is NOT applied here: callers gather
+    # the NMS keep set first and project only the survivors
+    # (subgc._encode_one) — row-exact, and 1/keep_ratio of the matmul work
+    return GPNTestOut(scores=scores, read_out=read_out,
                       att_masks=sub_att_mask)
 
 

@@ -114,9 +114,10 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
         keep_ind = jnp.arange(smax, dtype=jnp.int32)
         keep_valid = subs.valid
 
-    # node features materialize only for the kept sub-graphs
+    # node features materialize — and the fc read-out projects — only for
+    # the kept sub-graphs (the bucket can be 12.8x the keep set)
     att_feats = x_obj_img[subs.obj_ind[keep_ind]]        # [max_keep, N, L]
-    fc_feats = out.fc_feats[keep_ind]
+    fc_feats = G.readout_project(params, out.read_out[keep_ind])
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
     feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
