@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    help="matmul compute dtype (params/optimizer stay f32); "
                         "bfloat16 measures +31%% step throughput at batch 64 "
                         "(docs/PERF.md)")
+    p.add_argument("--bf16_lstm_gates", type=int, default=None,
+                   help="with bfloat16: run the [S,4R] LSTM gate streams in "
+                        "bf16 too (c stays f32) — measured +1-3%% step "
+                        "throughput, looser numerics (docs/PERF.md)")
     # model-architecture overrides (the reference exposes these on opts.py;
     # presets remain the defaults)
     p.add_argument("--use_bn", type=int, default=None, choices=[0, 1, 2],
@@ -108,6 +112,8 @@ def main(argv=None):
 
     if args.compute_dtype is not None:
         overrides["model"]["compute_dtype"] = args.compute_dtype
+    if args.bf16_lstm_gates is not None:
+        overrides["model"]["bf16_lstm_gates"] = bool(args.bf16_lstm_gates)
     for k in ["use_bn", "gcn_layers", "gcn_residual", "gcn_dim", "rnn_size",
               "att_hid_size", "input_encoding_size", "pred_emb_type",
               "drop_prob_lm"]:

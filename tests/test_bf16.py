@@ -52,8 +52,14 @@ def test_bf16_encode_decode_close_to_f32(tiny_cfg, rng_np):
     assert np.asarray(gr.seq).shape[1] == cfg16g.seq_length
 
 
-def test_bf16_training_loss_decreases(tmp_path):
-    """bf16 compute in the train step (f32 params/optimizer) still learns."""
+import pytest
+
+
+@pytest.mark.parametrize("gates", [False, True])
+def test_bf16_training_loss_decreases(tmp_path, gates):
+    """bf16 compute in the train step (f32 params/optimizer) still learns —
+    with and without bf16 LSTM gate streams (the opt-in
+    cli/train.py --bf16_lstm_gates 1; +1-3% measured, docs/PERF.md)."""
     from subgc_tpu.config import DataConfig, ModelConfig, TrainConfig
     from subgc_tpu.data.dataset import TrainLoader
     from subgc_tpu.data.synthetic import generate_dataset
@@ -67,7 +73,7 @@ def test_bf16_training_loss_decreases(tmp_path):
                        fc_feat_size=24, att_feat_size=man["feat_dim"],
                        embed_dim=12, num_obj_classes=man["n_obj_classes"],
                        num_rel_classes=man["n_rel_classes"],
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16", bf16_lstm_gates=gates)
     dcfg = DataConfig(input_json=man["input_json"],
                       input_label_h5=man["input_label_h5"],
                       sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
