@@ -178,7 +178,7 @@ def pairwise_node_iou(mem):
 
 def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
                  iou_thres: float, max_keep: int,
-                 parallel: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 parallel: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy score-descending sub-graph NMS, fully on device (gpn.py:108-138).
 
     Returns (keep_ind [max_keep] int32 in ascending *original* order — the
@@ -188,25 +188,25 @@ def subgraph_nms(scores, sub_obj_ind, sub_att_mask, valid, cfg: ModelConfig,
     Two exact-equivalent implementations (fuzz-pinned against each other in
     tests/test_nms_parallel.py):
 
-    * default: confirm-one-keep-per-iteration fori_loop (max_keep
-      iterations).  The greedy-prefix property makes this exactly the
-      reference's full suppression sweep (gpn.py:121-130) truncated to
-      max_keep (gpn.py:133-135): the first k kept items of full NMS are the
-      k items the loop confirms.  MEASURED FASTER on v5e at the M-RNN shape
-      ([4,1024] keep 1000: 35us vs 201us/dispatch) — the [S,S] IoU matrix is
-      VMEM-resident, so the 1000 dependent iterations are cheap and NMS is
-      nowhere near the mrnn bottleneck (docs/PERF.md round 3).
-    * ``parallel=True``: **parallel fixpoint**.  In score order, the
-      full-NMS keep set is the unique fixpoint of ``k[i] = valid[i] &
-      ~any(j<i: k[j] & iou[j,i] > thres)`` (unique by induction over i —
-      the suppression relation is strictly upper-triangular).  Jacobi
-      iteration from ``k0 = valid`` makes every item of decision depth d
-      (longest suppression chain ending at it) correct and stable after d
-      rounds, so a while_loop with an equality stop and an S-round cap
-      returns exactly the greedy keep set in chain-depth rounds of one
-      [S,S] masked matvec each.  The asymptotic escape hatch for shapes
-      whose IoU matrix exceeds VMEM (bucket >= ~2048), where the
-      sequential loop's per-iteration HBM reads would serialize.
+    * default: **parallel fixpoint**.  In score order, the full-NMS keep
+      set is the unique fixpoint of ``k[i] = valid[i] & ~any(j<i: k[j] &
+      iou[j,i] > thres)`` (unique by induction over i — the suppression
+      relation is strictly upper-triangular).  Jacobi iteration from
+      ``k0 = valid`` makes every item of decision depth d (longest
+      suppression chain ending at it) correct and stable after d rounds,
+      so a while_loop with an equality stop and an S-round cap returns
+      exactly the greedy keep set in chain-depth rounds of one [S,S]
+      masked matvec each.  Measured on v5e with chained-dispatch fetched
+      timing (the only reliable method through the axon tunnel — see
+      docs/PERF.md): **0.16 vs 2.39 ms** per batch-4 NMS at the M-RNN
+      shape (S=1024, keep 1000), 0.31 vs 0.44 ms per batch-96 NMS at the
+      Karpathy shape (S=128, keep 10).
+    * ``parallel=False``: confirm-one-keep-per-iteration fori_loop
+      (max_keep dependent iterations — argmax, row gather, mask per keep).
+      The greedy-prefix property makes this exactly the reference's full
+      suppression sweep (gpn.py:121-130) truncated to max_keep
+      (gpn.py:133-135).  Kept as the directly-reference-shaped
+      cross-check the fuzz tests pin the fixpoint against.
     """
     S = scores.shape[0]
     max_keep = min(max_keep, S)   # keep list can't exceed the bucket

@@ -3,11 +3,15 @@
 The mrnn bench (greedy, bucket 1024, NMS keep 1000) measures ~56k caps/s
 against a ~70k caps/s decode-only ceiling (docs/PERF.md round 2); the
 residual is the encode+sGPN+NMS cycle.  This tool times each phase at the
-mrnn shape so the expensive one is measured, not guessed.  FINDING
-(docs/PERF.md round 3): NMS is ~35us/dispatch (VMEM-resident IoU matrix),
-the fused program is decode-bound at ~48% MXU, and the bench-vs-compute gap
-is the host duty cycle — standalone phase times here include tunnel
-pipelining artifacts; trust the fused number.
+mrnn shape so the expensive one is measured, not guessed.  FINDINGS
+(docs/PERF.md round 3): the sequential keep-1000 NMS loop costs 2.4 ms per
+batch-4 dispatch (now replaced by the 0.16 ms parallel-fixpoint default),
+the fused program is decode-bound at ~48% MXU, and the bench-vs-compute
+gap is the host duty cycle.  CAVEAT: this tool's standalone phase timers
+use block_until_ready, which does NOT reliably wait on the axon tunnel —
+treat them as upper-bound pipeline numbers and trust only the fused
+figure; for real per-op device times use the chained-dispatch fetched
+recipe (CLAUDE.md, docs/PERF.md "Measurement pitfall").
 
 Usage: python tools/profile_encode_nms.py [batch] [bucket] [keep] [thres]
 Env: BENCH_DTYPE=float32|bfloat16 (default bfloat16 — the bench default).
