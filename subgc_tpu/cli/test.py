@@ -24,6 +24,12 @@ def parse_args(argv=None):
                    help="tag for captions_<tag>.npy (default: ckpt iter)")
     p.add_argument("--num_images", type=int, default=-1)
     p.add_argument("--batch_images", type=int, default=16)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard eval over a data-parallel device mesh: the "
+                        "image batch (and its sub-graph fan-out) splits "
+                        "across N devices, params replicate "
+                        "(tests/test_eval_sharded.py path).  Requires "
+                        "batch_images %% N == 0.  Default: single device")
     p.add_argument("--bucket", type=int, default=None,
                    help="static sub-graph bucket (default: preset)")
     p.add_argument("--beam_size", type=int, default=None)
@@ -174,10 +180,24 @@ def main(argv=None):
                     gvd["wd_to_lemma"], gvd["lemma_det_id_dict"],
                     gvd["det_id_to_det_wd"], img_wh, rerank_ind=rr)
 
+        mesh = None
+        if args.n_devices and args.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+            avail = len(jax.devices())
+            if args.n_devices > avail:
+                raise SystemExit(f"--n_devices {args.n_devices} > {avail} "
+                                 f"attached devices")
+            if args.batch_images % args.n_devices:
+                raise SystemExit(f"--batch_images {args.batch_images} must "
+                                 f"be divisible by --n_devices "
+                                 f"{args.n_devices}")
+            mesh = make_mesh(n_data=args.n_devices)
+
         preds, wall, n_caps = run_test_split(
             params, state, loader, mcfg, ecfg, loader.vocab,
             split=args.split, num_images=args.num_images,
-            batch_images=args.batch_images, collect_grounding=collector)
+            batch_images=args.batch_images, collect_grounding=collector,
+            mesh=mesh)
         path = save_predictions(preds, args.checkpoint_path, iter_tag,
                                 sct=ecfg.sct)
         print(f"decoded {n_caps} captions for {len(preds)} images in "

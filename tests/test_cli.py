@@ -196,3 +196,44 @@ def test_debug_flags(synth, tmp_path, monkeypatch, capsys):
     assert len(vis) == 2      # the 10-image fixture has 2 test images
     assert {"image_id", "caption", "file_path"} <= set(vis[0])
     assert vis[0]["file_path"] == "synthetic/1004.jpg"
+
+
+def test_cli_sharded_eval_matches_single(synth, tmp_path):
+    """--n_devices 2: the test CLI shards the image batch over the virtual
+    device mesh; captions must match the single-device run exactly."""
+    from subgc_tpu.cli import test as test_cli
+    from subgc_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "run_shard")
+    train_cli.main([
+        "Sub_GC_Kar", "--checkpoint_path", ckpt,
+        "--batch_size", "4", "--max_iters", "1",
+        "--save_checkpoint_every", "1", "--val_images_use", "2",
+        "--input_json", synth["input_json"],
+        "--input_label_h5", synth["input_label_h5"],
+        "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"],
+        "--obj_name_path", synth["obj_name_path"],
+        "--rel_name_path", synth["rel_name_path"],
+    ])
+    common = ["Sub_GC_Kar", "--checkpoint_path", ckpt,
+              "--beam_size", "2", "--gpn_max_subg", "4", "--bucket", "16",
+              "--batch_images", "2",
+              "--input_json", synth["input_json"],
+              "--input_label_h5", synth["input_label_h5"],
+              "--sg_dir", synth["sg_dir"], "--mask_dir", synth["mask_dir"]]
+    test_cli.main(common + ["--iter_tag", "single"])
+    test_cli.main(common + ["--iter_tag", "sharded", "--n_devices", "2"])
+    single = np.load(os.path.join(ckpt, "captions_single.npy"),
+                     allow_pickle=True).tolist()
+    sharded = np.load(os.path.join(ckpt, "captions_sharded.npy"),
+                      allow_pickle=True).tolist()
+    assert len(single) == len(sharded) >= 1
+    for a, b in zip(single, sharded):
+        assert a["image_id"] == b["image_id"]
+        assert a["caption"] == b["caption"]
+        np.testing.assert_allclose(a["subgraph_score"], b["subgraph_score"],
+                                   rtol=1e-6)
+
+    # misconfiguration is a clean error, not a shape crash
+    with pytest.raises(SystemExit):
+        test_cli.main(common + ["--iter_tag", "bad", "--n_devices", "3"])
