@@ -66,16 +66,36 @@ class LatencyWindow:
             self.requests += 1
             self.images += n_images
 
-    def summary(self) -> dict:
+    def reset(self):
+        """Drop samples and counters (used after warmup, whose first
+        dispatch pays the compile / one-time setup and would otherwise
+        poison the recent-latency percentiles)."""
         with self._lock:
-            s = sorted(self._samples)
-            n = len(s)
-            out = {"requests": self.requests, "images": self.images}
-        if n:
-            out["latency_ms"] = {
-                "mean": round(1e3 * sum(s) / n, 2),
+            self._samples.clear()
+            self.requests = 0
+            self.images = 0
+
+    def snapshot(self) -> tuple:
+        """(requests, images, [samples]) under the lock."""
+        with self._lock:
+            return self.requests, self.images, list(self._samples)
+
+    @staticmethod
+    def summarize(samples) -> dict:
+        s = sorted(samples)
+        n = len(s)
+        if not n:
+            return {}
+        return {"mean": round(1e3 * sum(s) / n, 2),
                 "p50": round(1e3 * s[n // 2], 2),
                 "p90": round(1e3 * s[min(n - 1, int(n * 0.9))], 2)}
+
+    def summary(self) -> dict:
+        requests, images, samples = self.snapshot()
+        out = {"requests": requests, "images": images}
+        lat = self.summarize(samples)
+        if lat:
+            out["latency_ms"] = lat
         return out
 
 
@@ -274,8 +294,19 @@ class ModelService:
                         microbatch_wait_ms=microbatch_wait_ms,
                         adaptive_wait=adaptive_wait)
         self._handles = {}
+        self._placed = {}       # device -> (params, state), shared by dtypes
         self._lock = threading.Lock()
         self._handle(default_dtype)
+
+    def _params_on(self, device):
+        """Params/state committed to `device` ONCE — the per-dtype handles
+        share the same float32 copy (casting happens in-jit), so a second
+        dtype costs no extra HBM or transfer."""
+        if device not in self._placed:
+            import jax
+            self._placed[device] = (jax.device_put(self.params, device),
+                                    jax.device_put(self.state, device))
+        return self._placed[device]
 
     def _handle(self, dtype: str):
         with self._lock:
@@ -289,7 +320,7 @@ class ModelService:
                         self.vocab, **self._kw)
                 else:
                     self._handles[dtype] = _ReplicaSet([
-                        build_service(self.params, self.state, mcfg,
+                        build_service(*self._params_on(d), mcfg,
                                       self.ecfg, self.vocab, device=d,
                                       **self._kw)
                         for d in self.devices])
@@ -313,6 +344,11 @@ class ModelService:
                    "rel_ind": rng.randint(0, n, (k, 2)),
                    "pred_dist": rng.rand(k, mcfg.num_rel_classes),
                    "subgraphs": [{"nodes": [0, 1], "rels": [0]}]}])
+        # warmup dispatches pay the compile / one-time setup — drop them
+        # from /stats so the recent-latency window reflects real traffic
+        h = self._handles[self.default_dtype]
+        for r in (h.handles if isinstance(h, _ReplicaSet) else [h]):
+            r.latency.reset()
 
     def describe(self) -> dict:
         return {"default_dtype": self.default_dtype,
@@ -333,12 +369,15 @@ class ModelService:
             d = {"replicas": [{"dispatches": r.batcher.dispatch_count,
                                "images": r.batcher.item_count,
                                "load": r.batcher.load()} for r in reps]}
-            lat = [r.latency.summary() for r in reps]
-            d["requests"] = sum(s["requests"] for s in lat)
-            d["images"] = sum(s["images"] for s in lat)
-            mss = [s["latency_ms"] for s in lat if "latency_ms" in s]
-            if mss:
-                d["latency_ms"] = mss[0] if len(mss) == 1 else mss
+            snaps = [r.latency.snapshot() for r in reps]
+            d["requests"] = sum(s[0] for s in snaps)
+            d["images"] = sum(s[1] for s in snaps)
+            # one schema regardless of replica count: percentiles over the
+            # merged recent-sample windows
+            lat = LatencyWindow.summarize(
+                [x for s in snaps for x in s[2]])
+            if lat:
+                d["latency_ms"] = lat
             out[dtype] = d
         return out
 

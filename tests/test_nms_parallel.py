@@ -41,7 +41,7 @@ def test_parallel_nms_matches_sequential():
             scores[: S // 2] = scores[0]        # tie block
         args = (jnp.asarray(scores), jnp.asarray(oi), jnp.asarray(am),
                 jnp.asarray(valid), cfg, thres, max_keep)
-        ki_s, kv_s = subgraph_nms(*args)
+        ki_s, kv_s = subgraph_nms(*args, parallel=False)
         ki_p, kv_p = subgraph_nms(*args, parallel=True)
         np.testing.assert_array_equal(np.asarray(kv_s), np.asarray(kv_p),
                                       err_msg=f"trial {trial} keep_valid")

@@ -310,11 +310,25 @@ def test_replicated_service():
     counts = [h.batcher.dispatch_count for h in handles]
     assert all(c >= 1 for c in counts), counts   # both replicas served
 
-    # warmup covers every replica
+    # multi-replica stats keep the single-dict latency schema (merged
+    # windows), never a per-replica list
+    st = rep.stats()["float32"]
+    assert st["requests"] == 4 and len(st["replicas"]) == 2
+    assert isinstance(st["latency_ms"], dict) and st["latency_ms"]["p50"] > 0
+
+    # warmup covers every replica, then resets the latency window so
+    # compile-time samples never show up as served traffic in /stats
     before = [h.batcher.dispatch_count for h in handles]
     rep.warmup()
     after = [h.batcher.dispatch_count for h in handles]
     assert all(a >= b + 1 for a, b in zip(after, before)), (before, after)
+    st = rep.stats()["float32"]
+    assert st["requests"] == 0 and "latency_ms" not in st
+
+    # per-device params are placed once and SHARED across dtype handles
+    assert len(rep._placed) == 2
+    rep._handle("bfloat16")
+    assert len(rep._placed) == 2
 
 
 def test_stats_endpoint(registry_server):

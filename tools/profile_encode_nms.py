@@ -83,17 +83,21 @@ def main():
         print(f"{name:>36}: {dt * 1e3:9.2f} ms")
         return out, dt
 
+    # every phase takes params/state as jit ARGUMENTS — closing over large
+    # device arrays embeds them as HLO literals and can stall the axon
+    # remote compiler indefinitely (CLAUDE.md)
+
     # phase 1: GCN encoder only
-    enc_fn = jax.jit(lambda g: E.encode_graph(params, state, g, cfg,
-                                              train=False)[0])
-    x_obj, _ = timeit("encode_graph (GCN)", enc_fn, graph)
+    enc_fn = jax.jit(lambda p, st, g: E.encode_graph(p, st, g, cfg,
+                                                     train=False)[0])
+    x_obj, _ = timeit("encode_graph (GCN)", enc_fn, params, state, graph)
 
     # phase 2: sGPN scoring (vmapped per image), no NMS
-    def score_all(xo, su):
+    def score_all(p, xo, su):
         return jax.vmap(lambda x, s: G.gpn_test_forward(
-            params, x, s.obj_ind, s.att_mask, cfg).scores)(xo, su)
+            p, x, s.obj_ind, s.att_mask, cfg).scores)(xo, su)
     sc_fn = jax.jit(score_all)
-    scores, _ = timeit("sGPN scoring", sc_fn, x_obj, subs)
+    scores, _ = timeit("sGPN scoring", sc_fn, params, x_obj, subs)
 
     # phase 3: NMS alone (vmapped per image)
     def nms_all(sc, su):
@@ -104,13 +108,15 @@ def main():
     print(f"{'kept (img 0)':>36}: {int(np.asarray(kv[0]).sum())}")
 
     # phase 4: full encode (encoder + sGPN + NMS + gather + prepare)
-    full_fn = jax.jit(lambda g, su: subgc.encode_images_batched(
-        params, state, g, su, cfg, ecfg))
-    enc, _ = timeit("full encode_images_batched", full_fn, graph, subs)
+    full_fn = jax.jit(lambda p, st, g, su: subgc.encode_images_batched(
+        p, st, g, su, cfg, ecfg))
+    enc, _ = timeit("full encode_images_batched", full_fn, params, state,
+                    graph, subs)
 
     # phase 5: greedy decode of the flat kept set
-    dec_fn = jax.jit(lambda f: greedy_mod.sample(params, f, cfg, ecfg).seq)
-    _, ddt = timeit(f"greedy decode ({B * keep} rows)", dec_fn, enc.feats)
+    dec_fn = jax.jit(lambda p, f: greedy_mod.sample(p, f, cfg, ecfg).seq)
+    _, ddt = timeit(f"greedy decode ({B * keep} rows)", dec_fn, params,
+                    enc.feats)
 
     # phase 6: fused program (the bench's measured unit)
     infer = make_batched_infer_fn(cfg, ecfg)
