@@ -20,7 +20,10 @@ def ref(tmp_path_factory):
 
 @pytest.mark.parametrize("group_size,decoding_constraint,length_penalty",
                          [(2, 0, ""), (1, 1, ""), (2, 1, ""),
-                          (1, 0, "wu_0.5"), (1, 0, "avg_1")])
+                          (1, 0, "wu_0.5"), (1, 0, "avg_1"),
+                          # edge: bdash=1 (every group a single beam, max
+                          # stagger) and penalty+groups+constraint combined
+                          (4, 0, ""), (2, 1, "wu_0.5")])
 def test_diverse_beam_parity(ref, tiny_cfg, rng_np, group_size,
                              decoding_constraint, length_penalty):
     import torch
