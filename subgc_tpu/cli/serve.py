@@ -464,42 +464,10 @@ def serve(service, host: str = "127.0.0.1", port: int = 8742):
     return httpd
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar",
-                   help="eval-preset fallback for checkpoints whose "
-                        "infos.json predates the model_type field")
-    p.add_argument("--checkpoint_path", type=str, required=True,
-                   action="append",
-                   help="checkpoint dir, or NAME=dir; repeatable — each "
-                        "becomes a servable model routed by the request's "
-                        "'model' field (first one is the default)")
-    p.add_argument("--host", type=str, default="127.0.0.1")
-    p.add_argument("--port", type=int, default=8742)
-    p.add_argument("--bucket", type=int, default=128)
-    p.add_argument("--batch_images", type=int, default=8)
-    p.add_argument("--beam_size", type=int, default=None)
-    p.add_argument("--microbatch_wait_ms", type=float, default=3.0,
-                   help="how long a dispatch waits for more requests to "
-                        "coalesce before running under-full")
-    p.add_argument("--adaptive_wait", action="store_true",
-                   help="tune the fill window from the observed arrival "
-                        "rate (microbatch_wait_ms becomes the cap): waits "
-                        "just long enough for the batch to plausibly fill, "
-                        "~zero when traffic is sparse")
-    p.add_argument("--replicas", type=int, default=1,
-                   help="serve N copies of each model, one per attached "
-                        "device (jax.devices()[:N]), requests routed "
-                        "round-robin — per-chip micro-batching, chips run "
-                        "in parallel")
-    p.add_argument("--compute_dtype", type=str, default="bfloat16",
-                   choices=["float32", "bfloat16"],
-                   help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "
-                        "streams) is the fastest deployment config "
-                        "(docs/PERF.md), float32 restores bitwise-parity "
-                        "decode")
-    args = p.parse_args(argv)
-
+def load_registry(args) -> ModelRegistry:
+    """Build the ModelRegistry from parsed CLI args: one ModelService per
+    --checkpoint_path spec, configs from each checkpoint's infos.json
+    (checkpoint-authoritative, like cli/test.py), optional device replicas."""
     import jax
     import jax.numpy as jnp
 
@@ -535,6 +503,45 @@ def main(argv=None):
             batch_images=args.batch_images,
             microbatch_wait_ms=args.microbatch_wait_ms,
             adaptive_wait=args.adaptive_wait, devices=devices))
+    return registry
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_type", nargs="?", default="Sub_GC_Kar",
+                   help="eval-preset fallback for checkpoints whose "
+                        "infos.json predates the model_type field")
+    p.add_argument("--checkpoint_path", type=str, required=True,
+                   action="append",
+                   help="checkpoint dir, or NAME=dir; repeatable — each "
+                        "becomes a servable model routed by the request's "
+                        "'model' field (first one is the default)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8742)
+    p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--batch_images", type=int, default=8)
+    p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--microbatch_wait_ms", type=float, default=3.0,
+                   help="how long a dispatch waits for more requests to "
+                        "coalesce before running under-full")
+    p.add_argument("--adaptive_wait", action="store_true",
+                   help="tune the fill window from the observed arrival "
+                        "rate (microbatch_wait_ms becomes the cap): waits "
+                        "just long enough for the batch to plausibly fill, "
+                        "~zero when traffic is sparse")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="serve N copies of each model, one per attached "
+                        "device (jax.devices()[:N]), requests routed "
+                        "round-robin — per-chip micro-batching, chips run "
+                        "in parallel")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "
+                        "streams) is the fastest deployment config "
+                        "(docs/PERF.md), float32 restores bitwise-parity "
+                        "decode")
+    args = p.parse_args(argv)
+    registry = load_registry(args)
 
     for name, svc in registry.models.items():
         print(f"warming {name} ({svc.default_dtype})...", flush=True)

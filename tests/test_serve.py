@@ -371,3 +371,46 @@ def test_least_loaded_routing():
     # equal load -> alternate
     idle._load = 8
     assert sorted({rs([None]), rs([None])}) == ["busy", "idle"]
+
+
+def test_load_registry_from_checkpoint(tmp_path):
+    """serve.main's checkpoint-loading path: a tiny on-disk checkpoint in
+    the train CLI's format loads into a registry, serves a request, and
+    honors the --bucket/--beam_size overrides."""
+    from subgc_tpu.cli.serve import load_registry
+    from subgc_tpu.config import ModelConfig, config_to_json
+    from subgc_tpu.train import checkpoint as C
+
+    cfg = ModelConfig(vocab_size=30, rnn_size=48, input_encoding_size=32,
+                      att_hid_size=24, gcn_dim=32, fc_feat_size=48,
+                      att_feat_size=64, embed_dim=16, num_obj_classes=12,
+                      num_rel_classes=6)
+    params, state = init_params(jax.random.PRNGKey(0), cfg,
+                                n_obj_names=12, n_pred_names=6)
+    ckpt = str(tmp_path / "srv_ckpt")
+    C.save_checkpoint(ckpt, params, state, None,
+                      infos={"iter": 1, "model_type": "Sub_GC_Kar",
+                             "model_config": config_to_json(cfg),
+                             "vocab": {str(i): f"w{i}"
+                                       for i in range(1, 31)}},
+                      histories={})
+
+    import argparse as _ap
+    ns = _ap.Namespace(model_type="Sub_GC_Kar",
+                       checkpoint_path=[f"tiny={ckpt}"],
+                       bucket=16, batch_images=2, beam_size=2,
+                       microbatch_wait_ms=5.0, adaptive_wait=False,
+                       compute_dtype="float32", replicas=1)
+    registry = load_registry(ns)
+    assert registry.default == "tiny"
+    svc = registry.models["tiny"]
+    assert svc.ecfg.max_subgraph_bucket == 16
+    assert svc.ecfg.beam_size == 2
+    svc.warmup()
+    out = svc([_image(cfg, np.random.RandomState(3), 42)])
+    assert out[0]["id"] == 42 and out[0]["captions"]
+
+    # replica over-subscription is a clean SystemExit
+    ns.replicas = 10**6
+    with pytest.raises(SystemExit):
+        load_registry(ns)
