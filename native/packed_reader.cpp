@@ -49,8 +49,12 @@ void* subgc_packed_open(const char* path) {
   sh->base = (const uint8_t*)mem;
   sh->size = st.st_size;
   memcpy(&sh->hdr, sh->base, sizeof(Header) < 48 ? sizeof(Header) : 48);
-  if (sh->hdr.magic != kMagic ||
-      64 + (size_t)sh->hdr.n_images * sh->hdr.record_size > sh->size) {
+  // overflow-safe record-bound check: reject rather than let a corrupt
+  // header's n_images * record_size wrap past the mapped size
+  if (sh->hdr.magic != kMagic || (size_t)st.st_size < 64 ||
+      sh->hdr.record_size == 0 ||
+      (size_t)sh->hdr.n_images >
+          ((size_t)st.st_size - 64) / sh->hdr.record_size) {
     munmap(mem, st.st_size);
     close(fd);
     delete sh;
@@ -94,13 +98,19 @@ void subgc_packed_ids(void* handle, int64_t* out) {
 
 // Batched gather: copy the records at indices[0..n) contiguously into out.
 // The copy runs in-native (one memcpy per record) so python overhead is
-// one call per batch, not per field.
-void subgc_packed_gather(void* handle, const uint32_t* indices, uint32_t n,
-                         uint8_t* out) {
+// one call per batch, not per field.  Returns the number of rows copied:
+// an out-of-range index stops the gather (the caller raises) instead of
+// memcpy'ing from a null record pointer.
+uint32_t subgc_packed_gather(void* handle, const uint32_t* indices,
+                             uint32_t n, uint8_t* out) {
   auto* sh = (Shard*)handle;
   const size_t rs = sh->hdr.record_size;
-  for (uint32_t j = 0; j < n; j++)
-    memcpy(out + (size_t)j * rs, subgc_packed_record(handle, indices[j]), rs);
+  for (uint32_t j = 0; j < n; j++) {
+    const uint8_t* rec = subgc_packed_record(handle, indices[j]);
+    if (!rec) return j;
+    memcpy(out + (size_t)j * rs, rec, rs);
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -42,6 +42,7 @@ def _load():
         lib.subgc_packed_record.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.subgc_packed_ids.argtypes = [ctypes.c_void_p,
                                          ctypes.POINTER(ctypes.c_int64)]
+        lib.subgc_packed_gather.restype = ctypes.c_uint32
         lib.subgc_packed_gather.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint8)]
@@ -126,10 +127,16 @@ class NativePackedReader:
         return _LazyRecord(buf, self._offsets)
 
     def gather(self, indices: Sequence[int]) -> np.ndarray:
-        """Batched contiguous copy of records -> [n, record_size] uint8."""
+        """Batched contiguous copy of records -> [n, record_size] uint8.
+
+        Raises IndexError on an out-of-range index (the C side stops at the
+        first bad row instead of dereferencing a null record pointer)."""
         idx = np.asarray(indices, np.uint32)
         out = np.zeros((len(idx), self.record_size), np.uint8)
-        self.lib.subgc_packed_gather(
+        done = self.lib.subgc_packed_gather(
             self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             len(idx), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if done != len(idx):
+            raise IndexError(f"record index {int(idx[done])} out of range "
+                             f"(shard has {self.n_images} images)")
         return out

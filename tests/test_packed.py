@@ -98,3 +98,34 @@ def test_multi_shard_source(shard, tmp_path):
     want = src.get(images[0]["id"])
     np.testing.assert_allclose(got["object_fmap"], want["object_fmap"])
     assert len(src.index) == len(images) + 1
+
+
+def test_native_reader_rejects_bad_input(shard, tmp_path):
+    """Out-of-range gather indices raise (not segfault); corrupt headers
+    refuse to open rather than overflow the record-bound check."""
+    from subgc_tpu.ops.native_packed import NativePackedReader, _load
+    if _load() is None:
+        pytest.skip("native packed reader unavailable")
+    path, man, images = shard
+    r = NativePackedReader(path)
+
+    with pytest.raises(IndexError):
+        r.gather([0, len(images) + 7])
+    with pytest.raises(IndexError):
+        r.record(len(images))
+    # valid gather still works after the failed one
+    assert r.gather([0, 1]).shape[0] == 2
+
+    # corrupt header: n_images * record_size overflowing past the file size
+    blob = bytearray(open(path, "rb").read())
+    blob[8:12] = (2**32 - 1).to_bytes(4, "little")          # n_images
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(blob)
+    with pytest.raises(Exception):
+        NativePackedReader(str(bad))
+
+    # truncated file (< header)
+    tiny = tmp_path / "tiny.bin"
+    tiny.write_bytes(b"short")
+    with pytest.raises(Exception):
+        NativePackedReader(str(tiny))
