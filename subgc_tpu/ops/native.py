@@ -75,6 +75,16 @@ def ptb_tokenize_batch(sentences: Sequence[str],
     return result.split("\n")
 
 
+def _oneline(s: str, also_tab: bool = False) -> str:
+    """Collapse separators embedded in a sentence before it rides the
+    '\\n'/'\\t'-framed native blobs.  An embedded newline would desync the
+    C side's line count from the python-allocated output buffer (heap
+    overflow); whitespace-collapsing is tokenization-neutral (both sides
+    split sentences on whitespace)."""
+    s = s.replace("\n", " ").replace("\r", " ")
+    return s.replace("\t", " ") if also_tab else s
+
+
 def pairwise_cider_matrix(df_docs: Sequence[Sequence[str]],
                           hyps: Sequence[str], refs: Sequence[str],
                           sigma: float = 6.0) -> np.ndarray:
@@ -86,11 +96,13 @@ def pairwise_cider_matrix(df_docs: Sequence[Sequence[str]],
         hv = [pc.vec(h) for h in hyps]
         rv = [pc.vec(r) for r in refs]
         return np.asarray([[pc.sim(h, r) for r in rv] for h in hv])
-    df_blob = "\n".join("\t".join(doc) for doc in df_docs)
+    df_blob = "\n".join("\t".join(_oneline(s, also_tab=True) for s in doc)
+                        for doc in df_docs)
     out = np.zeros((len(hyps), len(refs)), np.float64)
     rc = lib.subgc_pairwise_cider(
-        df_blob.encode("utf-8"), "\n".join(hyps).encode("utf-8"),
-        "\n".join(refs).encode("utf-8"), sigma,
+        df_blob.encode("utf-8"),
+        "\n".join(_oneline(h) for h in hyps).encode("utf-8"),
+        "\n".join(_oneline(r) for r in refs).encode("utf-8"), sigma,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     assert rc == 0
     return out
@@ -109,9 +121,9 @@ def mutual_bleu4(sentences: Sequence[str]) -> np.ndarray:
             out.append(corpus[3])
         return np.asarray(out)
     out = np.zeros((len(sentences),), np.float64)
-    rc = lib.subgc_mutual_bleu4("\n".join(sentences).encode("utf-8"),
-                                out.ctypes.data_as(
-                                    ctypes.POINTER(ctypes.c_double)))
+    rc = lib.subgc_mutual_bleu4(
+        "\n".join(_oneline(s) for s in sentences).encode("utf-8"),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     assert rc == 0
     return out
 

@@ -51,3 +51,31 @@ def test_mutual_bleu4_matches_python():
         want.append(corpus[3])
     got = native.mutual_bleu4(sents)
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-10)
+
+
+def test_embedded_newlines_cannot_desync_native_blobs():
+    """A '\\n' inside a caption must not desync the native line framing
+    from the python-allocated output buffers (heap-overflow shape) — the
+    wrappers collapse embedded separators, which is tokenization-neutral,
+    so native == python fallback on such inputs."""
+    from subgc_tpu.ops import native as N
+    if not N.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    docs = [["a man riding a\nhorse", "a dog in\tthe park"],
+            ["a red ball on grass"]]
+    hyps = ["a man riding\na horse", "a dog"]
+    refs = ["a man on a horse", "a\nred ball"]
+    got = N.pairwise_cider_matrix(docs, hyps, refs)
+    assert got.shape == (2, 2)
+    # python fallback (same inputs; whitespace-equivalent tokenization)
+    from subgc_tpu.eval.cider import PairwiseCider
+    pc = PairwiseCider(docs)
+    want = [[pc.sim(pc.vec(h), pc.vec(r)) for r in refs] for h in hyps]
+    import numpy as np
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    mb = N.mutual_bleu4(["a man riding\na horse", "a man riding a horse",
+                         "a dog in the park"])
+    assert mb.shape == (3,)
+    assert np.isfinite(mb).all()
