@@ -280,6 +280,51 @@ def prepare_features_bn(params, fc_feats, att_feats, att_mask,
                             fc_ih=fc_ih), new_bn
 
 
+def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
+                           cfg: ModelConfig,
+                           bn_state=None) -> PreparedFeatures:
+    """Eval-path prepare_features that projects the image's node features
+    ONCE and gathers the projected rows per sub-graph.
+
+    The test decode gathers ``x_obj_img[obj_ind]`` into a [keep, N, L]
+    tensor whose rows are duplicates of the image's <= obj_num unique
+    nodes; att_embed/ctx2att are row-wise maps at eval (running-stat BN,
+    no dropout), so projecting [n_obj, L] first and gathering afterwards
+    is row-exact while skipping keep·N/n_obj of the matmul work AND the
+    [keep, N, feat_dim] f32 intermediate entirely (~300 MB/image at the
+    M-RNN keep-1000 shape).  Inference-only: training dropout samples per
+    gathered row, so the train path keeps gather-then-project
+    (prepare_features_bn).
+
+    fc_feats: [keep, 2L] per-sub-graph read-outs (distinct rows — the fc
+    path is unchanged).  obj_ind: [keep, N] node indices; att_mask:
+    [keep, N].
+    """
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
+    fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
+    # node-level projection: att_embed over [n_obj, L] (eval semantics —
+    # BN running stats are row-wise; the pack_wrapper zero-fill happens
+    # after the gather, where the per-sub-graph mask lives)
+    node_mask = jnp.ones((x_obj_img.shape[0],), att_mask.dtype)
+    att_img, _ = att_embed(params, x_obj_img, node_mask, cfg, train=False,
+                           rng=None, bn_state=bn_state)
+    p_att_img = _dense(att_img, dec["ctx2att"], dt)
+    att = att_img[obj_ind]                       # [keep, N, R]
+    p_att = p_att_img[obj_ind]                   # [keep, N, H]
+    if cfg.use_bn:
+        att = att * att_mask[..., None]          # pad_packed zero-fill
+    if dt != jnp.float32:
+        att = att.astype(dt)
+        p_att = p_att.astype(dt)
+    R1 = cfg.rnn_size
+    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
+                    keep=cfg.bf16_lstm_gates)
+    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
+                            fc_ih=fc_ih)
+
+
 def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):
     dec = params["decoder"]
     xt = jax.nn.relu(dec["embed"][token])

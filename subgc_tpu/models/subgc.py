@@ -114,14 +114,16 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
         keep_ind = jnp.arange(smax, dtype=jnp.int32)
         keep_valid = subs.valid
 
-    # node features materialize — and the fc read-out projects — only for
-    # the kept sub-graphs (the bucket can be 12.8x the keep set)
-    att_feats = x_obj_img[subs.obj_ind[keep_ind]]        # [max_keep, N, L]
+    # the fc read-out projects only for the kept sub-graphs (the bucket can
+    # be 12.8x the keep set), and the node features project ONCE per image
+    # before the per-sub-graph gather (prepare_features_nodes — row-exact
+    # at eval, and it never materializes the [keep, N, feat_dim] copy)
     fc_feats = G.readout_project(params, out.read_out[keep_ind])
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
-    feats = D.prepare_features(params, fc_feats, att_feats, att_masks, cfg,
-                               bn_state=bn_state)
+    feats = D.prepare_features_nodes(params, fc_feats, x_obj_img,
+                                     subs.obj_ind[keep_ind], att_masks, cfg,
+                                     bn_state=bn_state)
     return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
                         keep_valid=keep_valid)
 
