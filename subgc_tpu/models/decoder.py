@@ -37,6 +37,13 @@ class PreparedFeatures(NamedTuple):
     fc_ih: jnp.ndarray    # [S, 4R]   fc's att-LSTM input-gate contribution,
     #                      precomputed once — fc is constant across decode
     #                      steps, so its w_ih slice never belongs in the scan
+    # image-shared attention (the greedy fan-out's HBM saver): when att_img /
+    # p_att_img are set, att/p_att are None, mask is the [S, n_obj] node-set
+    # MEMBERSHIP over the image node axis, rows group per image ([B, S/B]
+    # flattened), and attention() reads the [B, n_obj, *] projected node
+    # streams instead of [S, N, *] per-row gathers (docs/PERF.md round 3)
+    att_img: jnp.ndarray = None    # [B, n_obj, R]
+    p_att_img: jnp.ndarray = None  # [B, n_obj, H]
 
 
 def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
@@ -281,8 +288,8 @@ def prepare_features_bn(params, fc_feats, att_feats, att_mask,
 
 
 def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
-                           cfg: ModelConfig,
-                           bn_state=None) -> PreparedFeatures:
+                           cfg: ModelConfig, bn_state=None,
+                           image_shared: bool = False) -> PreparedFeatures:
     """Eval-path prepare_features that projects the image's node features
     ONCE and gathers the projected rows per sub-graph.
 
@@ -311,6 +318,26 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
     att_img, _ = att_embed(params, x_obj_img, node_mask, cfg, train=False,
                            rng=None, bn_state=bn_state)
     p_att_img = _dense(att_img, dec["ctx2att"], dt)
+    R1 = cfg.rnn_size
+    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
+                    keep=cfg.bf16_lstm_gates)
+    if image_shared:
+        # keep the IMAGE-level streams: attention() broadcasts over the
+        # kept-sub-graph axis and masks by node-set membership — the decode
+        # scan never re-reads per-row [keep, N, *] copies (greedy fan-out
+        # only; see PreparedFeatures.att_img)
+        from .gpn import node_membership
+        mem = node_membership(obj_ind, att_mask, x_obj_img.shape[0])
+        if cfg.use_bn:
+            # pad_packed zero-fill is membership-masking in this layout —
+            # attention's w * mem already excludes non-member nodes
+            pass
+        if dt != jnp.float32:
+            att_img = att_img.astype(dt)
+            p_att_img = p_att_img.astype(dt)
+        return PreparedFeatures(fc=fc, att=None, p_att=None, mask=mem,
+                                fc_ih=fc_ih, att_img=att_img,
+                                p_att_img=p_att_img)
     att = att_img[obj_ind]                       # [keep, N, R]
     p_att = p_att_img[obj_ind]                   # [keep, N, H]
     if cfg.use_bn:
@@ -318,9 +345,6 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
     if dt != jnp.float32:
         att = att.astype(dt)
         p_att = p_att.astype(dt)
-    R1 = cfg.rnn_size
-    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
-                    keep=cfg.bf16_lstm_gates)
     return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
                             fc_ih=fc_ih)
 
@@ -344,6 +368,35 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
     """
     dec = params["decoder"]
     dt = cfg.cdtype
+    if feats.att_img is not None:
+        # image-shared fan-out attention: all kept sub-graphs of one image
+        # attend over the SAME <= n_obj projected nodes, so the per-step
+        # reads are the [B, n_obj, R]/[B, n_obj, H] image streams (~KB)
+        # instead of per-row [S, N, *] gathers (~hundreds of MB at the
+        # M-RNN keep-1000 shape).  feats.mask is the node-set membership
+        # over the image node axis; masked-renormalized softmax over the
+        # member subset == the packed layout's (softmax is subset-stable),
+        # and the weighted sum hits the same rows — mathematically equal,
+        # float-reassociated.  Rows group per image: [B, K] flattened.
+        # [n_obj, *] (single-image path) -> [1, n_obj, *]
+        att_i = feats.att_img if feats.att_img.ndim == 3 \
+            else feats.att_img[None]
+        p_att_i = feats.p_att_img if feats.p_att_img.ndim == 3 \
+            else feats.p_att_img[None]
+        B, n = att_i.shape[0], att_i.shape[1]
+        S = h.shape[0]
+        K = S // B
+        att_h = _dense(h, dec["h2att"], dt)                   # [S, H]
+        att_h = att_h.reshape(B, K, 1, -1).astype(p_att_i.dtype)
+        dot = jnp.tanh(p_att_i[:, None, :, :] + att_h)        # [B,K,n,H]
+        e = _dense(dot, dec["alpha_net"], dt)[..., 0]         # [B, K, n]
+        w = jax.nn.softmax(e, axis=-1)
+        w = w * feats.mask.reshape(B, K, n)
+        w = w / w.sum(-1, keepdims=True)
+        att_res = jnp.einsum("bkn,bnr->bkr", w.astype(dt),
+                             att_i.astype(dt),
+                             preferred_element_type=jnp.float32)
+        return att_res.reshape(S, -1), w.reshape(S, n)
     if cfg.use_pallas_attention and feats.att.ndim == 3:
         from ..ops.pallas_attention import fused_attention
         return fused_attention(h, feats.p_att.astype(jnp.float32),

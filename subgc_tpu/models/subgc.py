@@ -117,13 +117,20 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
     # the fc read-out projects only for the kept sub-graphs (the bucket can
     # be 12.8x the keep set), and the node features project ONCE per image
     # before the per-sub-graph gather (prepare_features_nodes — row-exact
-    # at eval, and it never materializes the [keep, N, feat_dim] copy)
+    # at eval, and it never materializes the [keep, N, feat_dim] copy).
+    # Greedy fan-out decodes additionally skip the projected-row gather and
+    # attend over the image streams directly (image-shared attention) —
+    # beam search and attention-capture (grounding) keep the per-row layout
+    # whose packed att-weight axis the grounding contract expects.
+    image_shared = (cfg.share_att_images and ecfg.beam_size == 1
+                    and not ecfg.return_att)
     fc_feats = G.readout_project(params, out.read_out[keep_ind])
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
     feats = D.prepare_features_nodes(params, fc_feats, x_obj_img,
                                      subs.obj_ind[keep_ind], att_masks, cfg,
-                                     bn_state=bn_state)
+                                     bn_state=bn_state,
+                                     image_shared=image_shared)
     return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
                         keep_valid=keep_valid)
 
@@ -143,6 +150,16 @@ def encode_images_batched(params, state, graph: SceneGraph,
     one = lambda xo, su: _encode_one(params, xo, su, cfg, ecfg,
                                      state.get("att_bn"))
     enc = jax.vmap(one)(x_obj, subs)
-    flat = jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), enc)
-    return flat
+    # flatten [B, K, ...] -> [B*K, ...] — EXCEPT the image-shared node
+    # streams, which stay per-image [B, n_obj, *] (attention regroups the
+    # flat rows by image; see PreparedFeatures.att_img)
+    f = enc.feats
+    flat2 = lambda x: None if x is None \
+        else x.reshape((-1,) + x.shape[2:])
+    feats = D.PreparedFeatures(
+        fc=flat2(f.fc), att=flat2(f.att), p_att=flat2(f.p_att),
+        mask=flat2(f.mask), fc_ih=flat2(f.fc_ih),
+        att_img=f.att_img, p_att_img=f.p_att_img)
+    return EncodedImage(feats=feats, scores=flat2(enc.scores),
+                        keep_ind=flat2(enc.keep_ind),
+                        keep_valid=flat2(enc.keep_valid))

@@ -91,3 +91,53 @@ def test_merge_lstm_matmuls_bf16_beam_runs_merged(tiny_cfg, tiny_params,
                             EvalConfig(beam_size=3))
     a, b = np.asarray(out.seq), np.asarray(base.seq)
     assert (a == b).mean() > 0.8
+
+
+def test_image_shared_greedy_matches_per_row(tiny_cfg, tiny_params, rng_np):
+    """share_att_images (greedy fan-out attending over the image node
+    streams) == the per-row gathered layout: same tokens, same logprobs
+    (mathematically equal; float-reassociated, so allclose on scores)."""
+    from subgc_tpu.graph import SceneGraph, SubgraphSet
+    from subgc_tpu.models import subgc
+
+    params, state = tiny_params
+    cfg = tiny_cfg
+    from subgc_tpu.config import EvalConfig
+    ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75, gpn_max_subg=4,
+                      max_subgraph_bucket=8)
+    B, N, K, S = 2, cfg.obj_num, cfg.rel_num, 8
+    graph = SceneGraph(
+        obj_fmap=jnp.asarray(rng_np.rand(B, N, cfg.att_feat_size), jnp.float32),
+        obj_dist=jnp.asarray(rng_np.rand(B, N, cfg.num_obj_classes),
+                             jnp.float32),
+        rel_ind=jnp.asarray(rng_np.randint(0, N - 1, (B, K, 2)), jnp.int32),
+        pred_dist=jnp.asarray(rng_np.rand(B, K, cfg.num_rel_classes),
+                              jnp.float32))
+    oi = np.full((B, S, N), N - 1, np.int32)
+    am = np.zeros((B, S, N), np.float32)
+    for b in range(B):
+        for s in range(S):
+            n = rng_np.randint(2, 6)
+            oi[b, s, :n] = rng_np.choice(N - 1, n, replace=False)
+            am[b, s, :n] = 1
+    subs = SubgraphSet(jnp.asarray(oi),
+                       jnp.asarray(np.full((B, S, K), K - 1, np.int32)),
+                       jnp.asarray(am), jnp.asarray(np.ones((B, S), bool)))
+
+    from subgc_tpu.decode import greedy
+
+    def run(shared):
+        c = cfg.replace(share_att_images=shared)
+        enc = subgc.encode_images_batched(params, state, graph, subs, c, ecfg)
+        assert (enc.feats.att_img is not None) == shared
+        out = greedy.sample(params, enc.feats, c, ecfg)
+        return enc, out
+
+    enc_a, out_a = run(False)
+    enc_b, out_b = run(True)
+    np.testing.assert_array_equal(np.asarray(enc_a.keep_ind),
+                                  np.asarray(enc_b.keep_ind))
+    np.testing.assert_array_equal(np.asarray(out_a.seq), np.asarray(out_b.seq))
+    np.testing.assert_allclose(np.asarray(out_a.logprobs),
+                               np.asarray(out_b.logprobs), rtol=2e-5,
+                               atol=2e-6)
