@@ -142,10 +142,11 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
 def _init_group(params, feats_one, bdash, cfg):
     T = cfg.seq_length
     cap = bdash * T
-    if cfg.share_att_beams:
+    if cfg.share_att_beams or feats_one.att_img is not None:
         # unbatched features: decode_step/attention broadcast over the beam
         # axis, so the [N, R]/[N, H] streams are read once per sub-graph per
-        # step instead of once per beam (docs/PERF.md round 3)
+        # step instead of once per beam (docs/PERF.md round 3); the
+        # image-shared layout is inherently per-sub-graph-unbatched
         feats = feats_one
     else:
         feats = jax.tree_util.tree_map(
@@ -249,8 +250,26 @@ def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
         params = D.fold_embed_ih(params, cfg)
     if cfg.merge_lstm_matmuls:
         params = D.merge_lstm_weights(params, cfg)
-    fn = lambda p, f: jax.vmap(
-        lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
+    if feats.att_img is not None:
+        # image-shared attention: the [B, n_obj, *] image streams ride the
+        # per-sub-graph vmap with in_axes=None (each lane dynamic-slices its
+        # image's rows per step — see attention()); normalize the
+        # single-image layout and default the row->image map
+        ai = feats.att_img if feats.att_img.ndim == 3 else feats.att_img[None]
+        pi = feats.p_att_img if feats.p_att_img.ndim == 3 \
+            else feats.p_att_img[None]
+        ii = feats.img_ix if feats.img_ix is not None \
+            else jnp.zeros((feats.fc.shape[0],), jnp.int32)
+        feats = feats._replace(att_img=ai, p_att_img=pi, img_ix=ii)
+        axes = D.PreparedFeatures(fc=0, att=None, p_att=None, mask=0,
+                                  fc_ih=0, att_img=None, p_att_img=None,
+                                  img_ix=0)
+        fn = lambda p, f: jax.vmap(
+            lambda ff: _beam_search_one(p, ff, cfg, ecfg),
+            in_axes=(axes,))(f)
+    else:
+        fn = lambda p, f: jax.vmap(
+            lambda ff: _beam_search_one(p, ff, cfg, ecfg))(f)
     S = feats.fc.shape[0]
     limit = ecfg.beam_chunk
     # bf16 alignment only pays off at scale: padding S=8 up to 128 would
@@ -272,17 +291,31 @@ def beam_search(params, feats: D.PreparedFeatures, cfg: ModelConfig,
         # padded rows: zero features but an all-ones mask so the attention
         # renormalization stays finite (outputs are sliced off below)
         def _pad(x, ones=False):
+            if x is None:
+                return None
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, widths, constant_values=1.0 if ones else 0)
         feats = D.PreparedFeatures(
             fc=_pad(feats.fc), att=_pad(feats.att), p_att=_pad(feats.p_att),
-            mask=_pad(feats.mask, ones=True), fc_ih=_pad(feats.fc_ih))
+            mask=_pad(feats.mask, ones=True), fc_ih=_pad(feats.fc_ih),
+            att_img=feats.att_img, p_att_img=feats.p_att_img,
+            img_ix=_pad(feats.img_ix))
     if n_chunks == 1:
         out = fn(params, feats)
     else:
-        chunked = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), feats)
-        out = jax.lax.map(lambda f: fn(params, f), chunked)
+        # chunk the per-row leaves; the image streams (no row axis) pass
+        # whole to every chunk
+        def _chunked(x):
+            return None if x is None \
+                else x.reshape((n_chunks, chunk) + x.shape[1:])
+        rows = D.PreparedFeatures(
+            fc=_chunked(feats.fc), att=_chunked(feats.att),
+            p_att=_chunked(feats.p_att), mask=_chunked(feats.mask),
+            fc_ih=_chunked(feats.fc_ih), img_ix=_chunked(feats.img_ix))
+        ai, pi = feats.att_img, feats.p_att_img
+        out = jax.lax.map(
+            lambda f: fn(params, f._replace(att_img=ai, p_att_img=pi)),
+            rows)
         out = jax.tree_util.tree_map(
             lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:]), out)
     return jax.tree_util.tree_map(lambda x: x[:S], out)

@@ -44,6 +44,9 @@ class PreparedFeatures(NamedTuple):
     # streams instead of [S, N, *] per-row gathers (docs/PERF.md round 3)
     att_img: jnp.ndarray = None    # [B, n_obj, R]
     p_att_img: jnp.ndarray = None  # [B, n_obj, H]
+    img_ix: jnp.ndarray = None     # [S] row -> image (scalar per sub-graph
+    #                      inside the beam vmap, where the image streams ride
+    #                      with in_axes=None and attention slices them)
 
 
 def init_state(batch: int, cfg: ModelConfig) -> DecoderState:
@@ -368,6 +371,24 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
     """
     dec = params["decoder"]
     dt = cfg.cdtype
+    if feats.att_img is not None and feats.img_ix is not None \
+            and feats.img_ix.ndim == 0:
+        # beam variant of image-shared attention (inside the per-sub-graph
+        # vmap): the image streams ride the vmap with in_axes=None and each
+        # sub-graph dynamic-slices its image's [n_obj, *] rows per step —
+        # the slice fuses into the attention chain, so the per-step HBM
+        # reads are the [B, n_obj, *] streams, not [S, N, *] copies.
+        a = feats.att_img[feats.img_ix]                       # [n, R]
+        p = feats.p_att_img[feats.img_ix]                     # [n, H]
+        att_h = _dense(h, dec["h2att"], dt)                   # [bdash, H]
+        dot = jnp.tanh(p[None] + att_h[:, None, :].astype(p.dtype))
+        e = _dense(dot, dec["alpha_net"], dt)[..., 0]         # [bdash, n]
+        w = jax.nn.softmax(e, axis=-1)
+        w = w * feats.mask[None]
+        w = w / w.sum(-1, keepdims=True)
+        att_res = jnp.einsum("bn,nr->br", w.astype(dt), a.astype(dt),
+                             preferred_element_type=jnp.float32)
+        return att_res, w
     if feats.att_img is not None:
         # image-shared fan-out attention: all kept sub-graphs of one image
         # attend over the SAME <= n_obj projected nodes, so the per-step

@@ -118,12 +118,11 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
     # be 12.8x the keep set), and the node features project ONCE per image
     # before the per-sub-graph gather (prepare_features_nodes — row-exact
     # at eval, and it never materializes the [keep, N, feat_dim] copy).
-    # Greedy fan-out decodes additionally skip the projected-row gather and
-    # attend over the image streams directly (image-shared attention) —
-    # beam search and attention-capture (grounding) keep the per-row layout
-    # whose packed att-weight axis the grounding contract expects.
-    image_shared = (cfg.share_att_images and ecfg.beam_size == 1
-                    and not ecfg.return_att)
+    # Greedy and beam decodes additionally skip the projected-row gather
+    # and attend over the image streams directly (image-shared attention) —
+    # attention-capture (grounding) keeps the per-row layout whose packed
+    # att-weight axis the grounding contract expects.
+    image_shared = cfg.share_att_images and not ecfg.return_att
     fc_feats = G.readout_project(params, out.read_out[keep_ind])
     att_masks = out.att_masks[keep_ind]
     scores = out.scores[keep_ind]
@@ -131,6 +130,11 @@ def _encode_one(params, x_obj_img, subs: SubgraphSet, cfg: ModelConfig,
                                      subs.obj_ind[keep_ind], att_masks, cfg,
                                      bn_state=bn_state,
                                      image_shared=image_shared)
+    if image_shared:
+        # row -> image map (all zeros for this single image; the batched
+        # encoder overrides it with the global image indices)
+        feats = feats._replace(img_ix=jnp.zeros((keep_ind.shape[0],),
+                                                jnp.int32))
     return EncodedImage(feats=feats, scores=scores, keep_ind=keep_ind,
                         keep_valid=keep_valid)
 
@@ -156,10 +160,14 @@ def encode_images_batched(params, state, graph: SceneGraph,
     f = enc.feats
     flat2 = lambda x: None if x is None \
         else x.reshape((-1,) + x.shape[2:])
+    img_ix = None
+    if f.att_img is not None:
+        B, K = f.fc.shape[0], f.fc.shape[1]
+        img_ix = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
     feats = D.PreparedFeatures(
         fc=flat2(f.fc), att=flat2(f.att), p_att=flat2(f.p_att),
         mask=flat2(f.mask), fc_ih=flat2(f.fc_ih),
-        att_img=f.att_img, p_att_img=f.p_att_img)
+        att_img=f.att_img, p_att_img=f.p_att_img, img_ix=img_ix)
     return EncodedImage(feats=feats, scores=flat2(enc.scores),
                         keep_ind=flat2(enc.keep_ind),
                         keep_valid=flat2(enc.keep_valid))

@@ -141,3 +141,53 @@ def test_image_shared_greedy_matches_per_row(tiny_cfg, tiny_params, rng_np):
     np.testing.assert_allclose(np.asarray(out_a.logprobs),
                                np.asarray(out_b.logprobs), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_image_shared_beam_matches_per_row(tiny_cfg, tiny_params, rng_np):
+    """Image-shared attention in BEAM search (streams ride the vmap with
+    in_axes=None, per-step dynamic slice) == the per-row layout: exact
+    tokens, close scores — incl. through the chunked decode."""
+    from subgc_tpu.graph import SceneGraph, SubgraphSet
+    from subgc_tpu.models import subgc
+
+    params, state = tiny_params
+    cfg = tiny_cfg
+    B, N, K, S = 2, cfg.obj_num, cfg.rel_num, 10
+    graph = SceneGraph(
+        obj_fmap=jnp.asarray(rng_np.rand(B, N, cfg.att_feat_size), jnp.float32),
+        obj_dist=jnp.asarray(rng_np.rand(B, N, cfg.num_obj_classes),
+                             jnp.float32),
+        rel_ind=jnp.asarray(rng_np.randint(0, N - 1, (B, K, 2)), jnp.int32),
+        pred_dist=jnp.asarray(rng_np.rand(B, K, cfg.num_rel_classes),
+                              jnp.float32))
+    oi = np.full((B, S, N), N - 1, np.int32)
+    am = np.zeros((B, S, N), np.float32)
+    for b in range(B):
+        for s in range(S):
+            n = rng_np.randint(2, 6)
+            oi[b, s, :n] = rng_np.choice(N - 1, n, replace=False)
+            am[b, s, :n] = 1
+    subs = SubgraphSet(jnp.asarray(oi),
+                       jnp.asarray(np.full((B, S, K), K - 1, np.int32)),
+                       jnp.asarray(am), jnp.asarray(np.ones((B, S), bool)))
+
+    for group_size, beam_chunk in ((1, 1024), (2, 4)):
+        ecfg = EvalConfig(beam_size=4, group_size=group_size,
+                          diversity_lambda=0.5, gpn_nms_thres=0.75,
+                          gpn_max_subg=5, max_subgraph_bucket=S,
+                          beam_chunk=beam_chunk)
+
+        def run(shared):
+            c = cfg.replace(share_att_images=shared)
+            enc = subgc.encode_images_batched(params, state, graph, subs,
+                                              c, ecfg)
+            assert (enc.feats.att_img is not None) == shared
+            return beam.beam_search(params, enc.feats, c, ecfg)
+
+        out_a = run(False)
+        out_b = run(True)
+        np.testing.assert_array_equal(np.asarray(out_a.seq),
+                                      np.asarray(out_b.seq))
+        np.testing.assert_allclose(np.asarray(out_a.all_ps),
+                                   np.asarray(out_b.all_ps),
+                                   rtol=2e-5, atol=2e-6)
