@@ -42,6 +42,7 @@ void* subgc_packed_open(const char* path) {
   if (fd < 0) return nullptr;
   struct stat st;
   if (fstat(fd, &st) != 0) { close(fd); return nullptr; }
+  if ((size_t)st.st_size < 64) { close(fd); return nullptr; }  // < header
   void* mem = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   if (mem == MAP_FAILED) { close(fd); return nullptr; }
   auto* sh = new Shard();
@@ -51,8 +52,7 @@ void* subgc_packed_open(const char* path) {
   memcpy(&sh->hdr, sh->base, sizeof(Header) < 48 ? sizeof(Header) : 48);
   // overflow-safe record-bound check: reject rather than let a corrupt
   // header's n_images * record_size wrap past the mapped size
-  if (sh->hdr.magic != kMagic || (size_t)st.st_size < 64 ||
-      sh->hdr.record_size == 0 ||
+  if (sh->hdr.magic != kMagic || sh->hdr.record_size == 0 ||
       (size_t)sh->hdr.n_images >
           ((size_t)st.st_size - 64) / sh->hdr.record_size) {
     munmap(mem, st.st_size);

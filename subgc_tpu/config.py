@@ -72,10 +72,11 @@ class ModelConfig:
     # beam search: share the [N, R]/[N, H] attention feature streams across
     # the bdash beams of each sub-graph instead of broadcasting them per beam
     share_att_beams: bool = True
-    # greedy fan-out: attend over the image's projected node streams
-    # directly (image-shared attention) instead of per-sub-graph gathered
-    # copies — mathematically equal, float-reassociated; auto-disabled for
-    # beam search and attention-capture (grounding) paths (docs/PERF.md)
+    # greedy fan-out AND beam search: attend over the image's projected
+    # node streams directly (image-shared attention) instead of
+    # per-sub-graph gathered copies — mathematically equal,
+    # float-reassociated; auto-disabled only for attention-capture
+    # (grounding / return_att) paths (docs/PERF.md)
     share_att_images: bool = True
     # decode: merge each LSTM's input-side and hidden-side matmuls into one
     # concat matmul ([h_lang|xt|h_att] @ [w_ih[:R];w_ih[2R:];w_hh]) — fewer,

@@ -268,9 +268,7 @@ def prepare_features_bn(params, fc_feats, att_feats, att_mask,
     dec = params["decoder"]
     dt = cfg.cdtype
     r1, r2, r3 = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
-    fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
-    fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
-    fc = _dropout(fc, cfg.drop_prob_lm, r1, train)
+    fc, fc_ih = _project_fc(params, fc_feats, cfg, r1, train)
     att, new_bn = att_embed(params, att_feats, att_mask, cfg, train, r2,
                             bn_state)
     p_att = _dense(att, dec["ctx2att"], dt)
@@ -281,13 +279,25 @@ def prepare_features_bn(params, fc_feats, att_feats, att_mask,
         # the bytes here is the decode's main bf16 win
         att = att.astype(dt)
         p_att = p_att.astype(dt)
-    # fc rides the att-LSTM input as rows R1:2*R1 of w_ih (the
-    # [h_lang, fc, xt] concat in decode_step); precompute its matmul slice
+    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
+                            fc_ih=fc_ih), new_bn
+
+
+def _project_fc(params, fc_feats, cfg: ModelConfig, rng=None,
+                train: bool = False):
+    """The fc chain shared by every prepare_features variant: fc_embed1/2
+    (+ optional train dropout) and the precomputed att-LSTM w_ih slice
+    (fc is constant across decode steps, so its gate contribution never
+    belongs in the scan)."""
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
+    fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
+    fc = _dropout(fc, cfg.drop_prob_lm, rng, train)
     R1 = cfg.rnn_size
     fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
                     keep=cfg.bf16_lstm_gates)
-    return PreparedFeatures(fc=fc, att=att, p_att=p_att, mask=att_mask,
-                            fc_ih=fc_ih), new_bn
+    return fc, fc_ih
 
 
 def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
@@ -312,8 +322,7 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
     """
     dec = params["decoder"]
     dt = cfg.cdtype
-    fc = jax.nn.relu(_dense(fc_feats, dec["fc_embed1"], dt))
-    fc = jax.nn.relu(_dense(fc, dec["fc_embed2"], dt))
+    fc, fc_ih = _project_fc(params, fc_feats, cfg)
     # node-level projection: att_embed over [n_obj, L] (eval semantics —
     # BN running stats are row-wise; the pack_wrapper zero-fill happens
     # after the gather, where the per-sub-graph mask lives)
@@ -321,20 +330,15 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
     att_img, _ = att_embed(params, x_obj_img, node_mask, cfg, train=False,
                            rng=None, bn_state=bn_state)
     p_att_img = _dense(att_img, dec["ctx2att"], dt)
-    R1 = cfg.rnn_size
-    fc_ih = _matmul(fc, dec["att_lstm"]["w_ih"][R1:2 * R1], dt,
-                    keep=cfg.bf16_lstm_gates)
     if image_shared:
         # keep the IMAGE-level streams: attention() broadcasts over the
-        # kept-sub-graph axis and masks by node-set membership — the decode
-        # scan never re-reads per-row [keep, N, *] copies (greedy fan-out
-        # only; see PreparedFeatures.att_img)
+        # kept-sub-graph axis and masks by node-set membership (which also
+        # subsumes the use_bn pad_packed zero-fill: non-member nodes get
+        # weight zero, and the masked-renormalized softmax cancels their
+        # logits' contribution exactly) — the decode scan never re-reads
+        # per-row [keep, N, *] copies (see PreparedFeatures.att_img)
         from .gpn import node_membership
         mem = node_membership(obj_ind, att_mask, x_obj_img.shape[0])
-        if cfg.use_bn:
-            # pad_packed zero-fill is membership-masking in this layout —
-            # attention's w * mem already excludes non-member nodes
-            pass
         if dt != jnp.float32:
             att_img = att_img.astype(dt)
             p_att_img = p_att_img.astype(dt)
@@ -342,9 +346,15 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
                                 fc_ih=fc_ih, att_img=att_img,
                                 p_att_img=p_att_img)
     att = att_img[obj_ind]                       # [keep, N, R]
-    p_att = p_att_img[obj_ind]                   # [keep, N, H]
     if cfg.use_bn:
-        att = att * att_mask[..., None]          # pad_packed zero-fill
+        # pad_packed zero-fill BEFORE ctx2att, exactly like the gathered
+        # layout prepare_features_bn computes (padded slots' attention
+        # logits become the ctx2att bias, not a dummy node's projection) —
+        # per-row matmul cost returns, but no shipped config enables use_bn
+        att = att * att_mask[..., None]
+        p_att = _dense(att, dec["ctx2att"], dt)
+    else:
+        p_att = p_att_img[obj_ind]               # [keep, N, H]
     if dt != jnp.float32:
         att = att.astype(dt)
         p_att = p_att.astype(dt)

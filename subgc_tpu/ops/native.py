@@ -66,7 +66,7 @@ def ptb_tokenize_batch(sentences: Sequence[str],
         from ..eval.tokenizer import tokenize
         out = tokenize({0: [{"caption": s} for s in sentences]})
         return out[0]
-    blob = "\n".join(s.replace("\n", " ") for s in sentences)
+    blob = "\n".join(_oneline(s) for s in sentences)
     ptr = lib.subgc_ptb_tokenize(blob.encode("utf-8"), 1 if lowercase else 0)
     try:
         result = ctypes.string_at(ptr).decode("utf-8")
@@ -75,14 +75,16 @@ def ptb_tokenize_batch(sentences: Sequence[str],
     return result.split("\n")
 
 
-def _oneline(s: str, also_tab: bool = False) -> str:
-    """Collapse separators embedded in a sentence before it rides the
-    '\\n'/'\\t'-framed native blobs.  An embedded newline would desync the
-    C side's line count from the python-allocated output buffer (heap
-    overflow); whitespace-collapsing is tokenization-neutral (both sides
-    split sentences on whitespace)."""
-    s = s.replace("\n", " ").replace("\r", " ")
-    return s.replace("\t", " ") if also_tab else s
+def _oneline(s: str) -> str:
+    """Collapse whitespace separators embedded in a sentence before it
+    rides the '\\n'/'\\t'-framed native blobs.  An embedded newline would
+    desync the C side's line count from the python-allocated output buffer
+    (heap overflow); an embedded tab either splits a df doc in the wrong
+    place or — because the C tokenizer splits on ' ' only while python's
+    str.split() treats any whitespace as a separator — silently fuses two
+    tokens into one and corrupts the score.  Space-collapsing is exactly
+    python-fallback-neutral."""
+    return s.replace("\n", " ").replace("\r", " ").replace("\t", " ")
 
 
 def pairwise_cider_matrix(df_docs: Sequence[Sequence[str]],
@@ -96,7 +98,7 @@ def pairwise_cider_matrix(df_docs: Sequence[Sequence[str]],
         hv = [pc.vec(h) for h in hyps]
         rv = [pc.vec(r) for r in refs]
         return np.asarray([[pc.sim(h, r) for r in rv] for h in hv])
-    df_blob = "\n".join("\t".join(_oneline(s, also_tab=True) for s in doc)
+    df_blob = "\n".join("\t".join(_oneline(s) for s in doc)
                         for doc in df_docs)
     out = np.zeros((len(hyps), len(refs)), np.float64)
     rc = lib.subgc_pairwise_cider(

@@ -64,10 +64,12 @@ def test_embedded_newlines_cannot_desync_native_blobs():
         pytest.skip("native lib unavailable")
     docs = [["a man riding a\nhorse", "a dog in\tthe park"],
             ["a red ball on grass"]]
-    hyps = ["a man riding\na horse", "a dog"]
-    refs = ["a man on a horse", "a\nred ball"]
+    # tabs INSIDE hyps/refs too: the C tokenizer splits on ' ' only, so an
+    # unsanitized tab fuses two tokens and silently corrupts the score
+    hyps = ["a man riding\na horse", "a dog in\tthe park"]
+    refs = ["a man on a horse", "a\nred ball", "a dog in the park"]
     got = N.pairwise_cider_matrix(docs, hyps, refs)
-    assert got.shape == (2, 2)
+    assert got.shape == (2, 3)
     # python fallback (same inputs; whitespace-equivalent tokenization)
     from subgc_tpu.eval.cider import PairwiseCider
     pc = PairwiseCider(docs)
@@ -75,7 +77,10 @@ def test_embedded_newlines_cannot_desync_native_blobs():
     import numpy as np
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
-    mb = N.mutual_bleu4(["a man riding\na horse", "a man riding a horse",
-                         "a dog in the park"])
+    mb = N.mutual_bleu4(["a dog in\tthe park", "a dog in the park",
+                         "a dog in the park today"])
     assert mb.shape == (3,)
     assert np.isfinite(mb).all()
+    # sentence 0 (tab) must score like the space version would: vs two
+    # near-identical references its BLEU-4 is high, not ~0
+    assert mb[0] > 0.5, mb
