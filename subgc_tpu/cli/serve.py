@@ -311,9 +311,13 @@ class ModelService:
     def _handle(self, dtype: str):
         with self._lock:
             if dtype not in self._handles:
+                # float32 is the advertised BITWISE reference-parity mode:
+                # it also keeps the per-row attention layout (image-shared
+                # attention is exact-token but float-reassociated)
                 mcfg = self.mcfg.replace(
                     compute_dtype=dtype,
-                    bf16_lstm_gates=dtype == "bfloat16")
+                    bf16_lstm_gates=dtype == "bfloat16",
+                    share_att_images=dtype == "bfloat16")
                 if self.devices is None:
                     self._handles[dtype] = build_service(
                         self.params, self.state, mcfg, self.ecfg,
