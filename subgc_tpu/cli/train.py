@@ -183,7 +183,12 @@ def main(argv=None):
                          model_state=M.replicate(mesh, ts.model_state),
                          opt_state=M.replicate(mesh, ts.opt_state))
 
-    step = make_train_step(mcfg, tcfg, optimizer)
+    # two step programs, selected by whether the epoch's ss_prob is 0:
+    # the ss-inactive one hoists the word-embedding gate matmuls out of the
+    # decode scan (forward_teacher) — compiled lazily, so a run that never
+    # crosses scheduled_sampling_start only ever builds the hoisted one
+    step_ss = make_train_step(mcfg, tcfg, optimizer)
+    step_hoisted = make_train_step(mcfg, tcfg, optimizer, ss_active=False)
     val_step = make_val_step(mcfg)
     scst_fns = None
     if args.self_critical_after >= 0:
@@ -266,6 +271,7 @@ def main(argv=None):
                 print(f"scst iter {iteration}: loss {scst_loss:.4f} "
                       f"mean reward {mean_reward:.4f}")
         else:
+            step = step_hoisted if sp == 0.0 else step_ss
             with timers.phase("step"):
                 ts, metrics = step(ts, batch, r,
                                    jnp.asarray(epoch, jnp.int32),

@@ -23,9 +23,16 @@ Reference semantics preserved:
 * final: each group's done beams sorted by penalized score (stable in append
   order), top-bdash per group, groups concatenated (CaptionModel.py:173-175)
 
-Known tie-break divergence (documented): on *exactly* equal candidate scores
-the reference prefers lower word index then lower beam; ``lax.top_k`` on the
-row-major flattened [beam, vocab] grid prefers lower beam then lower word.
+Tie-break parity: on *exactly* equal candidate scores the reference's
+candidate list orders (better per-row sorted position, then lower beam) via
+a stable python sort (CaptionModel.py:56-69).  The expansion here flattens
+the candidate grid column-major so argmax ties resolve (lower word, then
+lower beam) — exactly the reference's order under a *stable* row sort.  The
+reference's actual ``torch.sort`` is unstable at vocab size (stable only on
+the ≤16-element insertion-sort path — measured, tests/test_tie_breaks.py),
+so its raw tie order is an unspecified backend artifact; this module
+implements the stable idealization, and the engineered-tie fuzz matches the
+reference bit-for-bit once its sort is forced stable.
 """
 from __future__ import annotations
 
@@ -63,6 +70,33 @@ def _topk_small(x, k: int):
         idxs.append(i)
         x = x.at[i].set(-jnp.inf)
     return jnp.stack(vals), jnp.stack(idxs)
+
+
+def _topk_small_wordmajor(cand, k: int):
+    """Top-k over a [bdash, V1] grid with ties resolved (lower WORD, then
+    lower beam) — the reference's candidate order under a stable row sort.
+
+    Selection-equivalent to ``_topk_small(cand.T.reshape(-1), k)`` but never
+    materializes the transpose: a [V1, bdash] array has minor dim 2-5, which
+    pads to 128 TPU lanes (~40x) and was measured 15% slower end-to-end at
+    the kar bench shape (20.2k -> 17.2k caps/s, docs/PERF.md round 4).  Each
+    pass takes the global max, then the first (lowest-word) column holding
+    it, then the first (lowest) beam within that column — two grid-shaped
+    VPU reductions per pass vs one for the row-major flatten, every
+    intermediate in the grid's native layout.
+    """
+    bdash = cand.shape[0]
+    vals, qs, cs = [], [], []
+    for _ in range(k):
+        m = cand.max()
+        hit = cand == m                          # [bdash, V1]
+        c = jnp.argmax(hit.max(0))               # lowest tied word
+        q = jnp.argmax(hit[:, c])                # lowest tied beam in it
+        vals.append(m)
+        qs.append(q)
+        cs.append(c)
+        cand = cand.at[q, c].set(-jnp.inf)
+    return jnp.stack(vals), jnp.stack(qs), jnp.stack(cs)
 
 
 class _GroupState(NamedTuple):
@@ -112,12 +146,16 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
     # per-beam lax.top_k was tried and measured 10x SLOWER on v5e (470 vs
     # 44 ms at the bench shape — top_k over the vocab axis lowers to a sort
     # under this vmap), so the argmax-pass form stays.
+    #
+    # Ties resolve word-major — (lower word, then lower beam), the
+    # reference's candidate order under a stable row sort (see module
+    # docstring; fuzzed in tests/test_tie_breaks.py against the
+    # stable-sort-forced reference) — via _topk_small_wordmajor, which
+    # stays in the [bdash, V1] layout.
     cand = gs.beam_sum[:, None] + logprobsf
     row_ok = (jnp.arange(bdash) < 1) | (local_t > 0)
     cand = jnp.where(row_ok[:, None], cand, -jnp.inf)
-    vp, flat = _topk_small(cand.reshape(-1), bdash)
-    q = flat // V1
-    c = flat % V1
+    vp, q, c = _topk_small_wordmajor(cand, bdash)
 
     new_seq = gs.beam_seq[:, q].at[local_t].set(c)
     new_lps = gs.beam_lps[:, q].at[local_t].set(unaug[q, c])

@@ -25,6 +25,27 @@ from ..config import EvalConfig, ModelConfig
 from ..models import decoder as D
 
 
+def _topk_mask(lp2: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep EXACTLY the k largest entries per row (others -> -inf) via k
+    argmax+mask passes — cheaper than a vocab-wide sort at k of 2-5.
+
+    torch.topk also keeps exactly k on threshold ties (AttModel.py:298); a
+    >=kth-value mask would keep every tied entry and thin the sampling mass.
+    Which tied member survives differs: the argmax passes take the lowest
+    index, while torch.topk's pick is an unspecified quickselect artifact
+    that itself differs between CPU and CUDA builds, so index-exact tie
+    parity is ill-defined (tests/test_tie_breaks.py pins the cardinality +
+    lowest-index rule)."""
+    work = lp2
+    keep = jnp.zeros(lp2.shape, bool)
+    for _ in range(k):
+        idx = jnp.argmax(work, axis=-1, keepdims=True)
+        keep = jnp.put_along_axis(keep, idx, True, axis=-1, inplace=False)
+        work = jnp.put_along_axis(work, idx, -jnp.inf, axis=-1,
+                                  inplace=False)
+    return jnp.where(keep, lp2, -jnp.inf)
+
+
 class SampleOut(NamedTuple):
     seq: jnp.ndarray           # [S, T] int32
     logprobs: jnp.ndarray      # [S, T] per-token logprob of chosen token
@@ -52,15 +73,7 @@ def sample(params, feats: D.PreparedFeatures, cfg: ModelConfig,
         if ecfg.use_topk_sampling:
             step_rng, r = jax.random.split(step_rng)
             lp2 = jax.nn.log_softmax(lp / ecfg.topk_temp, axis=-1)
-            # k-th largest per row via k-1 argmax+mask passes (cheaper than a
-            # vocab-wide sort; duplicates handled by index masking)
-            work = lp2
-            for _ in range(ecfg.the_k - 1):
-                idx = jnp.argmax(work, axis=-1, keepdims=True)
-                work = jnp.put_along_axis(work, idx, -jnp.inf, axis=-1,
-                                          inplace=False)
-            kth = work.max(-1, keepdims=True)
-            masked = jnp.where(lp2 >= kth, lp2, -jnp.inf)
+            masked = _topk_mask(lp2, ecfg.the_k)
             nxt = jax.random.categorical(r, masked, axis=-1)
             chosen_lp = jnp.take_along_axis(lp2, nxt[:, None], axis=-1)[:, 0]
         else:

@@ -416,6 +416,16 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
             else feats.p_att_img[None]
         B, n = att_i.shape[0], att_i.shape[1]
         S = h.shape[0]
+        # the grouping below is POSITIONAL (contiguous reshape), ignoring
+        # feats.img_ix: rows must be the images' kept sub-graphs in order,
+        # S = B*K exactly — every current caller (encode_images_batched,
+        # greedy, beam per-lane) satisfies this; a sliced/reordered/padded
+        # caller would silently attend over the wrong image's nodes, so the
+        # divisibility half of the invariant is asserted at trace time
+        if S % B != 0:
+            raise ValueError(
+                f"image-shared attention needs rows grouped per image: "
+                f"S={S} not divisible by B={B}")
         K = S // B
         att_h = _dense(h, dec["h2att"], dt)                   # [S, H]
         att_h = att_h.reshape(B, K, 1, -1).astype(p_att_i.dtype)
@@ -460,9 +470,15 @@ def attention(params, h, feats: PreparedFeatures, cfg: ModelConfig):
 
 
 def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
-                cfg: ModelConfig, train: bool = False, rng=None
-                ) -> Tuple[jnp.ndarray, DecoderState, jnp.ndarray]:
-    """One decoder step.  token [S] int32 -> (logprobs [S,V+1], state, att_w)."""
+                cfg: ModelConfig, train: bool = False, rng=None,
+                xt_ih=None) -> Tuple[jnp.ndarray, DecoderState, jnp.ndarray]:
+    """One decoder step.  token [S] int32 -> (logprobs [S,V+1], state, att_w).
+
+    xt_ih: optional precomputed word-embedding gate contribution
+    (embed_token(token) @ w_ih[2R:], [S, 4R]) — forward_teacher hoists all
+    T of these out of the scan as one batched matmul when the input tokens
+    are known upfront (ss inactive); the rng split below stays identical so
+    the output-dropout draws match the unhoisted path."""
     dec = params["decoder"]
     dt = cfg.cdtype
     r_emb, r_out = (jax.random.split(rng) if rng is not None else (None, None))
@@ -492,7 +508,9 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
                  + fc_ih + b_att)
         h_att, c_att = _lstm_nonlin(g_att, state.c_att, dt, bf16g)
     else:
-        if use_fold:
+        if xt_ih is not None:
+            pass                      # hoisted by forward_teacher
+        elif use_fold:
             # folded per-vocab gate table (fold_embed_ih): the word
             # embedding's whole contribution to the att gates is a row gather
             xt_ih = dec["embed_ih"][token]
@@ -541,16 +559,60 @@ def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
     sampling: for steps i>=1, with prob ss_prob per sample the input token is
     drawn from the previous step's distribution instead of the ground truth.
     The per-token python loop of the reference becomes one ``lax.scan``.
+
+    When scheduled sampling is statically off (``ss_prob is None`` — the
+    first scheduled_sampling_start epochs and every val pass) all T input
+    tokens are known upfront, so the word-embedding stream's gate
+    projection (xt @ w_ih[2R:], the reference's per-step input matmul in
+    AttModel.py:157-175) is hoisted out of the scan as ONE [T*S, E] x
+    [E, 4R] matmul — its forward AND backward leave the serial chain.
+    The per-step embed-dropout draws replicate the scan's rng chain, so
+    hoisted and unhoisted paths see identical dropout masks.
     """
     params = cast_decoder_weights(params, cfg)
     S, T2 = seq.shape
     n_steps = T2 - 1
     V1 = cfg.vocab_size + 1
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dec = params["decoder"]
+
+    use_fold = (not train) and ("embed_ih" in dec)
+    use_merge = (cfg.merge_lstm_matmuls and "w_cat" in dec["att_lstm"]
+                 and not use_fold)
+    hoist = ss_prob is None and not use_fold and not use_merge
+
+    xt_ih_all = None
+    if hoist:
+        R1 = cfg.rnn_size
+        dt = cfg.cdtype
+        bf16g = cfg.bf16_lstm_gates and dt != jnp.float32
+        tokens = seq[:, :n_steps].T                     # [T, S]
+        xt = jax.nn.relu(dec["embed"][tokens])          # [T, S, E]
+        if train and cfg.drop_prob_lm > 0:
+            # same r_emb keys the scan's decode_step would draw
+            sr = base_rng
+            r_drops = []
+            for _ in range(n_steps):
+                sr, _, _, r_drop = jax.random.split(sr, 4)
+                r_drops.append(r_drop)
+            r_embs = jax.vmap(lambda k: jax.random.split(k)[0])(
+                jnp.stack(r_drops))
+            xt = jax.vmap(
+                lambda k, x: _dropout(x, cfg.drop_prob_lm, k, True))(
+                    r_embs, xt)
+        xt_ih_all = _matmul(xt.reshape(n_steps * S, -1),
+                            dec["att_lstm"]["w_ih"][2 * R1:], dt,
+                            keep=bf16g).reshape(n_steps, S, 4 * R1)
 
     def step(carry, inp):
-        state, prev_lp, step_rng = carry
-        i, token_gt = inp
+        if ss_prob is None:
+            state, step_rng = carry
+            i, token_gt, xt_ih = inp
+            token = token_gt
+        else:
+            state, prev_lp, step_rng = carry
+            i, token_gt = inp
+            xt_ih = None
         step_rng, r_ss, r_pick, r_drop = jax.random.split(step_rng, 4)
         if train and ss_prob is not None:
             # ss_prob may be a traced scalar (0.0 disables sampling at runtime
@@ -558,13 +620,27 @@ def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
             use_sample = jax.random.uniform(r_ss, (S,)) < ss_prob
             sampled = jax.random.categorical(r_pick, prev_lp, axis=-1)
             token = jnp.where((i >= 1) & use_sample, sampled, token_gt)
-        else:
-            token = token_gt
         lp, state, _ = decode_step(params, state, token, feats, cfg, train,
-                                   r_drop if train else None)
+                                   r_drop if train else None, xt_ih=xt_ih)
+        if ss_prob is None:
+            return (state, step_rng), lp
         return (state, lp, step_rng), lp
 
-    init = (init_state(S, cfg), jnp.zeros((S, V1), jnp.float32), base_rng)
-    xs = (jnp.arange(n_steps), seq[:, :n_steps].T)
-    _, lps = jax.lax.scan(step, init, xs)
+    if ss_prob is None:
+        if xt_ih_all is None:       # fold/merge: step computes its own
+            xs = (jnp.arange(n_steps), seq[:, :n_steps].T)
+
+            def step_nox(carry, inp):
+                return step(carry, inp + (None,))
+
+            _, lps = jax.lax.scan(step_nox, (init_state(S, cfg), base_rng),
+                                  xs)
+        else:
+            xs = (jnp.arange(n_steps), seq[:, :n_steps].T, xt_ih_all)
+            _, lps = jax.lax.scan(step, (init_state(S, cfg), base_rng), xs)
+    else:
+        init = (init_state(S, cfg), jnp.zeros((S, V1), jnp.float32),
+                base_rng)
+        xs = (jnp.arange(n_steps), seq[:, :n_steps].T)
+        _, lps = jax.lax.scan(step, init, xs)
     return lps.transpose(1, 0, 2)   # [S, T+1, V+1]

@@ -80,9 +80,21 @@ def bce_loss(scores, targets, eps_clamp: float = 100.0, logits=None):
         log_1s = jnp.clip(-jax.nn.softplus(logits), -eps_clamp)
     else:
         # torch clamps the log OUTPUT at -100 (log(0) = -inf -> -100);
-        # log1p keeps precision for scores near 0 on the negative class
-        log_s = jnp.clip(jnp.log(scores), -eps_clamp)
-        log_1s = jnp.clip(jnp.log1p(-scores), -eps_clamp)
+        # log1p keeps precision for scores near 0 on the negative class.
+        # The saturated endpoints route around log's infinite vjp: at
+        # scores==0 clip(log(0)) forwards -eps_clamp but its grad is
+        # clip-zero * log-inf = NaN, so the where picks the constant branch
+        # there (same forward value, zero gradient — matching the clamp's
+        # true derivative); symmetrically at scores==1 for log1p.
+        log_s = jnp.where(scores > 0.0,
+                          jnp.clip(jnp.log(jnp.where(scores > 0.0, scores,
+                                                     1.0)), -eps_clamp),
+                          -eps_clamp)
+        log_1s = jnp.where(scores < 1.0,
+                           jnp.clip(jnp.log1p(-jnp.where(scores < 1.0,
+                                                         scores, 0.0)),
+                                    -eps_clamp),
+                           -eps_clamp)
     return -(targets * log_s + (1.0 - targets) * log_1s).mean()
 
 

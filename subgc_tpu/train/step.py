@@ -46,9 +46,19 @@ def init_train_state(params, model_state, optimizer) -> TrainState:
 
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
-                    optimizer: optax.GradientTransformation):
-    """Returns step(ts, batch, rng, epoch, ss_prob) -> (ts, metrics), jitted."""
-    use_ss = tcfg.scheduled_sampling_start >= 0
+                    optimizer: optax.GradientTransformation,
+                    ss_active: bool = True):
+    """Returns step(ts, batch, rng, epoch, ss_prob) -> (ts, metrics), jitted.
+
+    ss_active is STATIC: with False, scheduled sampling is compiled out and
+    forward_teacher hoists the word-embedding gate projections out of the
+    decode scan (all tokens known upfront — one batched matmul instead of
+    T serial ones, forward and backward).  The train driver uses the
+    ss_active=False program for the epochs where ss_prob would be 0 anyway
+    (before scheduled_sampling_start) and switches at the epoch boundary —
+    one extra compile per run for a measured step-time win (docs/PERF.md
+    round 4)."""
+    use_ss = tcfg.scheduled_sampling_start >= 0 and ss_active
 
     def loss_fn(params, model_state, batch: TrainBatch, rng, ss_prob):
         logprobs, gpn_loss, _, new_state = subgc.train_forward(

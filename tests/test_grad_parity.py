@@ -114,3 +114,27 @@ def test_grad_parity(ref, tiny_cfg, rng_np):
         assert tgrads[tname] is None, tname
         np.testing.assert_allclose(jget(jpath), 0.0, atol=1e-8,
                                    err_msg=jpath)
+
+
+def test_bce_loss_saturated_endpoints_finite_grad():
+    """The non-logits bce_loss path must keep gradients finite when scores
+    saturate to exactly 0 or 1 (clip's zero cotangent times log's 1/0 vjp
+    is 0*inf=NaN without the where-guard), while the forward value still
+    matches torch.nn.BCELoss's -100 log clamp."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from subgc_tpu.models.gpn import bce_loss
+
+    scores = jnp.asarray([0.0, 1.0, 0.3, 1e-38])
+    targets = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+
+    want = torch.nn.BCELoss()(torch.tensor(np.asarray(scores)),
+                              torch.tensor(np.asarray(targets))).item()
+    got = float(bce_loss(scores, targets))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    g = jax.grad(lambda s: bce_loss(s, targets))(scores)
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+    # interior point keeps the true BCE derivative: d/ds -log(s) = -1/s
+    np.testing.assert_allclose(np.asarray(g)[2], (-1.0 / 0.3) / 4, rtol=1e-5)

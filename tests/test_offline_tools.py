@@ -75,3 +75,53 @@ def test_bank_feeds_training_sampler():
                          seq_per_img=5, rng=rng)
     assert idx.shape == (5, 2, 2)
     assert (idx >= 0).all()
+
+
+def test_fetch_data_manifest_roundtrip(tmp_path):
+    """fetch_data --check/--record-checksums/--verify against synthetic
+    stand-ins: missing -> partial -> complete -> pinned -> tamper-detected."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools import fetch_data as fd
+
+    root = str(tmp_path)
+    assert fd.cmd_check(root) == 1          # everything missing
+
+    # materialize every artifact (tiny stand-ins; npz trees under-count)
+    for e in fd.MANIFEST:
+        p = os.path.join(root, e["path"])
+        if e["kind"] == "npz_tree":
+            os.makedirs(p, exist_ok=True)
+            for i in range(3):
+                open(os.path.join(p, f"{i}.npz"), "wb").write(b"x" * 10)
+        else:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(e["path"].encode())
+    # trees are "partial" (3 < expected count) — check reports missing work
+    assert fd.cmd_check(root) == 1
+    saved_counts = {e["path"]: e.get("count") for e in fd.MANIFEST
+                    if e["kind"] == "npz_tree"}
+    for e in fd.MANIFEST:       # pretend the tiny trees are complete
+        if e["kind"] == "npz_tree":
+            e["count"] = 3
+    assert fd.cmd_check(root) == 0
+
+    pin_file = os.path.join(root, "pins.json")
+    orig = fd.CHECKSUM_FILE
+    fd.CHECKSUM_FILE = pin_file
+    try:
+        assert fd.cmd_record(root) == 0
+        pins = json.load(open(pin_file))
+        assert len(pins) == len(fd.MANIFEST)
+        assert fd.cmd_verify(root) == 0
+        # tamper with one file -> verify must fail
+        victim = next(e for e in fd.MANIFEST if e["kind"] == "file")
+        open(os.path.join(root, victim["path"]), "wb").write(b"tampered")
+        assert fd.cmd_verify(root) == 1
+    finally:
+        fd.CHECKSUM_FILE = orig
+        for e in fd.MANIFEST:   # restore mutated counts for other tests
+            if e["kind"] == "npz_tree":
+                e["count"] = saved_counts[e["path"]]
