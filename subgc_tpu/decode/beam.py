@@ -57,9 +57,10 @@ def _topk_small(x, k: int):
     """Exact top-k for tiny k via k argmax passes.
 
     Identical selection and tie handling to ``lax.top_k`` (ties -> lowest
-    index) but O(k*V) VPU reductions instead of an O(V log V) sort — the
-    beam expansion's k is the beam width (2-5), the vector is beam*vocab
-    (~30-50k), and this runs every decode step for every sub-graph.
+    index) but O(k*V) VPU reductions instead of an O(V log V) sort.  The
+    beam expansion itself uses _topk_small_wordmajor (reference tie order);
+    this form is kept as the flat-selection semantics baseline the tests
+    compare against (tests/test_topk_paths.py).
     """
     vals = []
     idxs = []
@@ -79,23 +80,37 @@ def _topk_small_wordmajor(cand, k: int):
     Selection-equivalent to ``_topk_small(cand.T.reshape(-1), k)`` but never
     materializes the transpose: a [V1, bdash] array has minor dim 2-5, which
     pads to 128 TPU lanes (~40x) and was measured 15% slower end-to-end at
-    the kar bench shape (20.2k -> 17.2k caps/s, docs/PERF.md round 4).  Each
-    pass takes the global max, then the first (lowest-word) column holding
-    it, then the first (lowest) beam within that column — two grid-shaped
-    VPU reductions per pass vs one for the row-major flatten, every
-    intermediate in the grid's native layout.
+    the kar bench shape (20.2k -> 17.2k caps/s, docs/PERF.md round 4).
+    Each pass is ONE variadic lax.reduce carrying (value, column-major rank)
+    with a lexicographic max comparator — the same reduction shape argmax
+    itself lowers to, so the pass costs what a plain argmax pass does; the
+    winner's removal is a broadcasted compare+select, not a scatter.  (A
+    two-reduction formulation — global max, then argmax over a hit mask,
+    then a dynamic column slice and 2D scatter — measured 4x slower
+    end-to-end: 4.2k caps/s.)
     """
-    bdash = cand.shape[0]
+    bdash, V1 = cand.shape
+    # column-major rank: lower word, then lower beam
+    rank = (jnp.arange(V1, dtype=jnp.int32)[None, :] * bdash
+            + jnp.arange(bdash, dtype=jnp.int32)[:, None])
+
+    def comp(acc, x):
+        av, ak = acc
+        xv, xk = x
+        better = (xv > av) | ((xv == av) & (xk < ak))
+        return (jnp.where(better, xv, av), jnp.where(better, xk, ak))
+
     vals, qs, cs = [], [], []
     for _ in range(k):
-        m = cand.max()
-        hit = cand == m                          # [bdash, V1]
-        c = jnp.argmax(hit.max(0))               # lowest tied word
-        q = jnp.argmax(hit[:, c])                # lowest tied beam in it
-        vals.append(m)
-        qs.append(q)
-        cs.append(c)
-        cand = cand.at[q, c].set(-jnp.inf)
+        v, r = jax.lax.reduce(
+            (cand, rank),
+            (jnp.asarray(-jnp.inf, cand.dtype),
+             jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)),
+            comp, (0, 1))
+        vals.append(v)
+        qs.append(r % bdash)
+        cs.append(r // bdash)
+        cand = jnp.where(rank == r, -jnp.inf, cand)
     return jnp.stack(vals), jnp.stack(qs), jnp.stack(cs)
 
 
@@ -142,16 +157,14 @@ def _expand_group(params, feats, gs: _GroupState, local_t, cfg: ModelConfig,
         counts = jax.nn.one_hot(diversity_tokens, V1).sum(0)      # [V1]
         logprobsf = logprobsf - ecfg.diversity_lambda * counts[None, :]
 
-    # flat top-k via bdash argmax passes (_topk_small).  A two-stage
-    # per-beam lax.top_k was tried and measured 10x SLOWER on v5e (470 vs
-    # 44 ms at the bench shape — top_k over the vocab axis lowers to a sort
-    # under this vmap), so the argmax-pass form stays.
-    #
-    # Ties resolve word-major — (lower word, then lower beam), the
-    # reference's candidate order under a stable row sort (see module
+    # flat top-k via bdash variadic-reduce passes (_topk_small_wordmajor):
+    # ties resolve word-major — (lower word, then lower beam), the
+    # reference's candidate order under a stable row sort (module
     # docstring; fuzzed in tests/test_tie_breaks.py against the
-    # stable-sort-forced reference) — via _topk_small_wordmajor, which
-    # stays in the [bdash, V1] layout.
+    # stable-sort-forced reference).  Alternatives measured and rejected:
+    # two-stage per-beam lax.top_k 10x slower (sorts under this vmap, r3);
+    # transposed flat argmax passes -15%; two-reduction masked passes -79%
+    # (docs/PERF.md round 4).
     cand = gs.beam_sum[:, None] + logprobsf
     row_ok = (jnp.arange(bdash) < 1) | (local_t > 0)
     cand = jnp.where(row_ok[:, None], cand, -jnp.inf)

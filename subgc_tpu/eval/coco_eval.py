@@ -26,11 +26,18 @@ class CaptionEvaluator:
 
     def __init__(self, gts_raw: Dict[object, List[str]],
                  image_ids: Optional[List] = None,
-                 use_spice: bool = True, use_meteor: bool = True):
+                 use_spice: bool = True, use_meteor: bool = True,
+                 tokenize_fn=None, meteor_fn=None, spice_fn=None):
+        """tokenize_fn/meteor_fn/spice_fn override the framework scorers —
+        used by tools/metric_bounds.py to measure scorer divergences in
+        end-metric units (same pipeline, one component swapped)."""
+        self._tokenize = tokenize_fn or tokenize
+        self._meteor = meteor_fn or compute_meteor
+        self._spice = spice_fn or compute_spice
         self.image_ids = list(image_ids) if image_ids is not None \
             else list(gts_raw.keys())
-        self.gts = tokenize({k: [{"caption": c} for c in gts_raw[k]]
-                             for k in self.image_ids})
+        self.gts = self._tokenize({k: [{"caption": c} for c in gts_raw[k]]
+                                   for k in self.image_ids})
         self.use_spice = use_spice
         self.use_meteor = use_meteor
         self.eval: Dict[str, float] = {}
@@ -39,7 +46,8 @@ class CaptionEvaluator:
 
     def evaluate(self, res_raw: Dict[object, str]) -> Dict[str, float]:
         """res_raw: {image_id: caption string} for every image_id."""
-        res = tokenize({k: [{"caption": res_raw[k]}] for k in self.image_ids})
+        res = self._tokenize({k: [{"caption": res_raw[k]}]
+                              for k in self.image_ids})
         gts = {k: self.gts[k] for k in self.image_ids}
 
         corpus_bleu, per_img_bleu, material = compute_bleu(gts, res)
@@ -49,7 +57,7 @@ class CaptionEvaluator:
             self.eval_scores[f"Bleu_{k + 1}"] = np.asarray(per_img_bleu[k])
 
         if self.use_meteor:
-            m, ms = compute_meteor(gts, res)
+            m, ms = self._meteor(gts, res)
             self.eval["METEOR"] = m
             self.eval_scores["METEOR"] = ms
         r, rs = compute_rouge(gts, res)
@@ -59,7 +67,7 @@ class CaptionEvaluator:
         self.eval["CIDEr"] = c
         self.eval_scores["CIDEr"] = cs
         if self.use_spice:
-            s, ss, _ = compute_spice(gts, res)
+            s, ss, _ = self._spice(gts, res)
             self.eval["SPICE"] = s
             self.eval_scores["SPICE"] = ss
         return dict(self.eval)

@@ -35,3 +35,25 @@ def test_greedy_topk_threshold():
     kth = work.max(-1, keepdims=True)
     want = jnp.sort(lp2, axis=-1)[:, -k][:, None]
     np.testing.assert_allclose(np.asarray(kth), np.asarray(want))
+
+
+def test_topk_wordmajor_matches_transposed_flat():
+    """_topk_small_wordmajor == _topk_small on the transposed flat grid
+    (value, beam, word all equal), including engineered exact ties."""
+    from subgc_tpu.decode.beam import _topk_small_wordmajor
+
+    rng = np.random.RandomState(5)
+    for trial in range(10):
+        bdash = int(rng.randint(2, 6))
+        V1 = int(rng.randint(20, 80))
+        cand = rng.randn(bdash, V1).astype("f")
+        if trial % 2:  # quantize -> many exact ties
+            cand = np.round(cand * 2) / 2
+        cand = jnp.asarray(cand)
+        v1, flat = _topk_small(cand.T.reshape(-1), bdash)
+        v2, q2, c2 = _topk_small_wordmajor(cand, bdash)
+        np.testing.assert_array_equal(np.asarray(flat) % bdash,
+                                      np.asarray(q2))
+        np.testing.assert_array_equal(np.asarray(flat) // bdash,
+                                      np.asarray(c2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
