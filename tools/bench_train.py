@@ -36,7 +36,10 @@ def main():
                                  n_obj_names=1599, n_pred_names=21)
     optimizer = build_optimizer(tcfg)
     ts = init_train_state(params, mstate, optimizer)
-    step = make_train_step(cfg, tcfg, optimizer)
+    # BENCH_SS=0 measures the ss-inactive program (hoisted input-gate
+    # matmuls, the pre-scheduled-sampling-epoch shape of the hot loop)
+    ss_active = os.environ.get("BENCH_SS", "1") != "0"
+    step = make_train_step(cfg, tcfg, optimizer, ss_active=ss_active)
 
     rng = np.random.RandomState(0)
     N, K = cfg.obj_num, cfg.rel_num

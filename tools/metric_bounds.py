@@ -1,0 +1,333 @@
+"""End-metric-unit bounds for the scorer divergences (VERDICT r3 item 2).
+
+docs/METRICS.md bounds each reimplemented component per-scorer (tokenizer
+bytes, METEOR correlation, SPICE tuple-F1).  This tool converts those into
+TABLE-METRIC units: it runs the full ``language_eval`` + oracle + consensus
+rerank pipelines twice per divergence axis — once with the framework
+component, once with the proxy-oracle component — on the same corpus, and
+reports:
+
+* Δ of every table value (top-1 and oracle rows, per metric),
+* the oracle-PICK flip rate (how often the per-image argmax over ranks,
+  `eval/sentence.py` oracle, selects a different rank),
+* the consensus-rerank top-1 flip rate (tokenizer axis; the reranker's
+  pairwise-CIDEr similarities read tokenized docs).
+
+Axes (proxy oracles are the same independent implementations METRICS.md
+uses — the Java jars cannot run here):
+
+  tokenizer  ours (eval/tokenizer.py) vs nltk TreebankWordTokenizer
+             (affects BLEU/ROUGE/CIDEr/METEOR/SPICE inputs + rerank df)
+  meteor     ours shipped (1.5 weights, 4 stages) vs the matched-config
+             exact+stem alignment (the nltk-comparable configuration)
+  spice      chunker extractor vs the independent POS-lexicon extractor
+             (eval/spice_oracle.py)
+
+Usage:  python tools/metric_bounds.py [--images 250] [--ranks 5]
+        [--out docs/metric_bounds.json]
+
+The corpus generator reuses the caption grammar + perturbation model of
+tools/gen_metric_validation.py, with punctuation/contraction noise added so
+the tokenizers actually diverge (clean model captions are the identity for
+both).  tests/test_metric_bounds.py pins the envelopes at the 250-image
+scale; run --images 1000 for the drill-scale numbers in METRICS.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.gen_metric_validation import ADJS, NOUNS, PREPS, VERBS, _perturb, \
+    _sentence
+
+PUNCT_NOISE = [
+    lambda w, r: w + ",",                      # clause comma
+    lambda w, r: w + ".",                      # stray period
+    lambda w, r: w + "'s",                     # possessive
+    lambda w, r: '"' + w + '"',                # quotes
+    lambda w, r: w + "-" + NOUNS[r.randint(len(NOUNS))],   # hyphen compound
+    lambda w, r: w.capitalize(),               # case (lowercasing path)
+    lambda w, r: w + " (" + ADJS[r.randint(len(ADJS))] + ")",  # brackets
+    # the measured REAL divergence classes (tests/test_tokenizer_fuzz.py
+    # docstring) — the classes above mostly relabel consistently on both
+    # sides, which is score-INVARIANT (match structure is isomorphic);
+    # score movement needs token-boundary divergence:
+    lambda w, r: w + " " + ["12,000", "3.5", "1,000"][r.randint(3)],
+    lambda w, r: ["mr.", "dr.", "u.s."][r.randint(3)] + " " + w,
+    lambda w, r: ["it's", "don't", "they'll", "isn't"][r.randint(4)]
+        + " " + w,
+    lambda w, r: w + "'",                      # trailing apostrophe
+]
+
+
+def _punctuate(words: list, r: np.random.RandomState,
+               rate: float = 0.18) -> str:
+    """Caption-shaped punctuation/contraction noise (real COCO references
+    carry commas, periods, possessives, quotes and bracketed asides — the
+    corpus must exercise the tokenizer divergence classes, not just clean
+    lowercase words)."""
+    out = []
+    for w in words:
+        if r.rand() < rate:
+            w = PUNCT_NOISE[r.randint(len(PUNCT_NOISE))](w, r)
+        out.append(w)
+    s = " ".join(out)
+    if r.rand() < 0.3:
+        s += "."
+    return s
+
+
+def _noisy_sentence(r: np.random.RandomState) -> str:
+    return _punctuate(_sentence(r), r)
+
+
+GLUE_PARTS = [",", ".", "!", "?", ":", "(", ")", "{", "}", '"', "'", "''",
+              "12,000", "3.5", "mr.", "u.s.", "i'm", "don't"]
+
+
+def _pathological(words: list, r: np.random.RandomState) -> str:
+    """Fuzz-style random punctuation glue (the tests/test_tokenizer_fuzz.py
+    regime where ours and the oracle diverge on 1.1% of strings): parts
+    concatenated WITHOUT guaranteed spaces, producing ',3.5'-style token
+    starts and bracket/apostrophe pileups no caption generator emits.
+    Used to show the harness is non-vacuous — metric deltas DO move when
+    tokenization moves."""
+    s = ""
+    for w in words:
+        if r.rand() < 0.5:
+            w = GLUE_PARTS[r.randint(len(GLUE_PARTS))] + w
+        if r.rand() < 0.3:
+            w = w + GLUE_PARTS[r.randint(len(GLUE_PARTS))]
+        if s and r.rand() < 0.6:
+            s += " "
+        s += w
+    return s
+
+
+def build_corpus(n_images: int, n_ranks: int, seed: int = 2020,
+                 pathological: bool = False):
+    """{img: [5 refs]}, predictions [{image_id, caption: [rank strs]}]."""
+    r = np.random.RandomState(seed)
+    shape = _pathological if pathological else \
+        (lambda ws, rr: _punctuate(ws, rr, 0.12))
+    gts, preds = {}, []
+    for i in range(n_images):
+        base = _sentence(r)
+        # refs carry punctuation noise too (like real COCO annotations)
+        gts[i] = [shape(_perturb(base, r.randint(0, 3), r), r)
+                  for _ in range(5)]
+        caps = []
+        for k in range(n_ranks):
+            # rank-correlated quality: later ranks drift further from GT;
+            # every rank gets punctuation noise so the tokenizer axis is
+            # exercised in top-1, oracle, and rerank positions alike
+            caps.append(_noisy_sentence(r) if r.rand() < 0.25 + 0.1 * k
+                        else shape(_perturb(base, 1 + k, r), r))
+        preds.append({"image_id": i, "caption": caps})
+    return gts, preds
+
+
+# ---------------------------------------------------------------- oracles
+def nltk_tokenize_fn(captions_for_image):
+    """Proxy-reference tokenizer: nltk TreebankWordTokenizer + the
+    coco-caption wrapper's punctuation strip (the same oracle
+    tests/test_tokenizer_fuzz.py measures 98.90% bytes against)."""
+    from nltk.tokenize import TreebankWordTokenizer
+
+    from subgc_tpu.eval.tokenizer import _PUNCT_SET
+    tk = TreebankWordTokenizer()
+    out = {}
+    for k, caps in captions_for_image.items():
+        sents = []
+        for c in caps:
+            # convert_parentheses + lowercase: the jar pipeline's bracket
+            # convention (same oracle as tests/test_tokenizer_fuzz.py), so
+            # the residual divergence is the measured 1.1% boundary
+            # classes, not a consistent -LRB-/( relabel that cancels in
+            # every match-based metric
+            toks = [t.lower() for t in tk.tokenize(
+                c["caption"], convert_parentheses=True)]
+            sents.append(" ".join(t for t in toks if t not in _PUNCT_SET))
+        out[k] = sents
+    return out
+
+
+def matched_meteor_fn(gts, res):
+    """METEOR restricted to the matched configuration (exact+stem stages,
+    unweighted) — the algorithm the nltk oracle implements; its agreement
+    with nltk is r=0.9932 with ours >= nltk on 250/250 (docs/METRICS.md),
+    so it stands in for the oracle at corpus scale without nltk's
+    per-pair cost."""
+    from subgc_tpu.eval.meteor import meteor_sentence
+    scores = np.zeros(len(gts))
+    ids = list(gts.keys())
+    for i, k in enumerate(ids):
+        scores[i] = meteor_sentence(res[k][0], gts[k],
+                                    stage_weights=[1.0, 1.0])
+    return float(scores.mean()), scores
+
+
+def oracle_spice_fn(gts, res):
+    """SPICE with the independent POS-lexicon extractor."""
+    from subgc_tpu.eval.spice_oracle import oracle_tuples
+    ids = list(gts.keys())
+    scores = np.zeros(len(ids))
+    for i, k in enumerate(ids):
+        hyp = oracle_tuples(res[k][0])
+        ref = set()
+        for rr in gts[k]:
+            ref |= set(oracle_tuples(rr))
+        hyp_set = set(hyp)
+        tp = len(hyp_set & ref)
+        p = tp / len(hyp_set) if hyp_set else 0.0
+        rc = tp / len(ref) if ref else 0.0
+        scores[i] = 2 * p * rc / (p + rc) if p + rc else 0.0
+    return float(scores.mean()), scores, None
+
+
+# ------------------------------------------------------------- pipelines
+def run_language_eval(gts, preds, n_ranks, **ev_kw):
+    from subgc_tpu.eval.coco_eval import CaptionEvaluator
+    from subgc_tpu.eval.sentence import align_predictions, language_eval
+
+    import subgc_tpu.eval.sentence as sentence_mod
+    align = align_predictions(preds, n_ranks)
+
+    # language_eval constructs its own CaptionEvaluator; inject via a
+    # subclass bound to the override kwargs
+    orig = sentence_mod.CaptionEvaluator
+
+    class _Injected(CaptionEvaluator):
+        def __init__(self, gts_raw, image_ids=None, use_spice=True,
+                     use_meteor=True):
+            super().__init__(gts_raw, image_ids, use_spice, use_meteor,
+                             **ev_kw)
+
+    sentence_mod.CaptionEvaluator = _Injected
+    try:
+        return sentence_mod.language_eval(gts, align, verbose=False)
+    finally:
+        sentence_mod.CaptionEvaluator = orig
+
+
+def run_rerank(gts, preds, seed=7, tokenize_fn=None):
+    """Consensus rerank with a synthetic feature space; returns the top-1
+    pick index per image.  tokenize_fn swaps the df tokenization."""
+    import subgc_tpu.eval.rerank as rerank_mod
+    r = np.random.RandomState(seed)
+    n = len(preds)
+    n_train = 3 * n
+    train_feats = r.randn(n_train, 64).astype("f")
+    test_feats = train_feats[::3] + 0.1 * r.randn(n, 64).astype("f")
+    train_annos = [{"id": 10_000 + i,
+                    "sentences": [" ".join(_perturb(_sentence(r), 1, r))
+                                  for _ in range(5)]}
+                   for i in range(n_train)]
+    df_refs = dict(gts)
+
+    orig = rerank_mod.tokenize
+    if tokenize_fn is not None:
+        rerank_mod.tokenize = tokenize_fn
+    try:
+        rerank_ind, _ = rerank_mod.rerank_predictions(
+            preds, train_annos, train_feats, test_feats, df_refs)
+    finally:
+        rerank_mod.tokenize = orig
+    return {k: v[0] for k, v in rerank_ind.items()}
+
+
+# ------------------------------------------------------------ comparison
+TABLE_METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr",
+                 "METEOR", "SPICE"]
+
+
+def compare(a, b, n_ranks):
+    """a/b: all_scores dicts -> {metric: {top1_delta, oracle_delta,
+    pick_flip_rate}}."""
+    out = {}
+    for m in TABLE_METRICS:
+        row = {"top1_a": a["top1"][m], "top1_b": b["top1"][m],
+               "top1_delta": abs(a["top1"][m] - b["top1"][m])}
+        if n_ranks > 1:
+            row["oracle_a"] = a["oracle"][m]
+            row["oracle_b"] = b["oracle"][m]
+            row["oracle_delta"] = abs(a["oracle"][m] - b["oracle"][m])
+            pa = np.argmax(a[m], axis=0)
+            pb = np.argmax(b[m], axis=0)
+            row["pick_flip_rate"] = float((pa != pb).mean())
+        out[m] = row
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=250)
+    ap.add_argument("--ranks", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=2020)
+    ap.add_argument("--out", default="docs/metric_bounds.json")
+    ap.add_argument("--skip-rerank", action="store_true")
+    args = ap.parse_args(argv)
+
+    gts, preds = build_corpus(args.images, args.ranks, args.seed)
+    report = {"images": args.images, "ranks": args.ranks, "seed": args.seed}
+
+    base = run_language_eval(gts, preds, args.ranks)
+
+    print("== tokenizer axis (ours vs nltk Treebank oracle) ==")
+    tok = run_language_eval(gts, preds, args.ranks,
+                            tokenize_fn=nltk_tokenize_fn)
+    report["tokenizer"] = compare(base, tok, args.ranks)
+
+    # non-vacuity: the same axis on a pathological (fuzz-regime) corpus —
+    # proves the harness registers deltas when tokenization actually moves
+    gts_p, preds_p = build_corpus(args.images, args.ranks, args.seed,
+                                  pathological=True)
+    base_p = run_language_eval(gts_p, preds_p, args.ranks)
+    tok_p = run_language_eval(gts_p, preds_p, args.ranks,
+                              tokenize_fn=nltk_tokenize_fn)
+    report["tokenizer_pathological"] = compare(base_p, tok_p, args.ranks)
+
+    print("== METEOR axis (shipped 4-stage vs matched exact+stem) ==")
+    met = run_language_eval(gts, preds, args.ranks,
+                            meteor_fn=matched_meteor_fn)
+    report["meteor"] = {"METEOR": compare(base, met, args.ranks)["METEOR"]}
+
+    print("== SPICE axis (chunker vs independent POS-lexicon extractor) ==")
+    spi = run_language_eval(gts, preds, args.ranks,
+                            spice_fn=oracle_spice_fn)
+    report["spice"] = {"SPICE": compare(base, spi, args.ranks)["SPICE"]}
+
+    if not args.skip_rerank:
+        print("== rerank axis (tokenizer swap in the df corpus) ==")
+        ra = run_rerank(gts, preds)
+        rb = run_rerank(gts, preds, tokenize_fn=nltk_tokenize_fn)
+        flips = np.mean([ra[k] != rb[k] for k in ra])
+        report["rerank_top1_flip_rate"] = float(flips)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {args.out}")
+
+    # markdown summary for METRICS.md
+    print("\n| axis | metric | top-1 Δ | oracle Δ | pick flips |")
+    print("|---|---|---|---|---|")
+    for axis in ("tokenizer", "tokenizer_pathological", "meteor", "spice"):
+        for m, row in report[axis].items():
+            print(f"| {axis} | {m} | {row['top1_delta']:.4f} | "
+                  f"{row.get('oracle_delta', 0):.4f} | "
+                  f"{row.get('pick_flip_rate', 0) * 100:.1f}% |")
+    if "rerank_top1_flip_rate" in report:
+        print(f"| tokenizer | rerank top-1 | — | — | "
+              f"{report['rerank_top1_flip_rate'] * 100:.1f}% |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
