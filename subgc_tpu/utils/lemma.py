@@ -44,6 +44,17 @@ IRREGULAR = {
     "boxes": "box", "foxes": "fox",
     # -is endings the plural guard would otherwise keep
     "taxis": "taxi", "skis": "ski",
+    # found by the VG-1600 class-vocabulary coverage eval
+    # (tools/lemma_coverage.py): -ies that keep the e, and the "skiis"
+    # typo class VG ships (object_names_1600-0-20.npy)
+    "veggies": "veggie", "skiis": "ski", "cookies": "cookie",
+    "hoodies": "hoodie", "selfies": "selfie", "movies": "movie",
+    "smoothies": "smoothie", "ties": "tie", "pies": "pie",
+    # found by the caption-corpus coverage eval (CoreNLP-style lemmas the
+    # suffix rules miss: short -ing stems below the length guard, article
+    # and pronoun forms)
+    "an": "a", "its": "its", "them": "they", "going": "go",
+    "using": "use", "doing": "do",
 }
 
 # invariant words ending in s
