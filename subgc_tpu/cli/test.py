@@ -30,6 +30,11 @@ def parse_args(argv=None):
                         "across N devices, params replicate "
                         "(tests/test_eval_sharded.py path).  Requires "
                         "batch_images %% N == 0.  Default: single device")
+    p.add_argument("--shard_subgraphs", action="store_true",
+                   help="with --n_devices: shard the flat sub-graph ROW "
+                        "axis instead of the image axis — balances a "
+                        "single image's keep-1000 fan-out across devices, "
+                        "no batch_images divisibility requirement")
     p.add_argument("--bucket", type=int, default=None,
                    help="static sub-graph bucket (default: preset)")
     p.add_argument("--beam_size", type=int, default=None)
@@ -187,17 +192,19 @@ def main(argv=None):
             if args.n_devices > avail:
                 raise SystemExit(f"--n_devices {args.n_devices} > {avail} "
                                  f"attached devices")
-            if args.batch_images % args.n_devices:
+            if not args.shard_subgraphs and args.batch_images % args.n_devices:
                 raise SystemExit(f"--batch_images {args.batch_images} must "
                                  f"be divisible by --n_devices "
-                                 f"{args.n_devices}")
+                                 f"{args.n_devices} (or use "
+                                 f"--shard_subgraphs)")
             mesh = make_mesh(n_data=args.n_devices)
 
         preds, wall, n_caps = run_test_split(
             params, state, loader, mcfg, ecfg, loader.vocab,
             split=args.split, num_images=args.num_images,
             batch_images=args.batch_images, collect_grounding=collector,
-            mesh=mesh)
+            mesh=mesh,
+            shard_axis="subgraph" if args.shard_subgraphs else "image")
         path = save_predictions(preds, args.checkpoint_path, iter_tag,
                                 sct=ecfg.sct)
         print(f"decoded {n_caps} captions for {len(preds)} images in "

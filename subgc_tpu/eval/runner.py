@@ -65,11 +65,38 @@ def _decode(params, enc, cfg, ecfg, rng):
     return res
 
 
-def make_batched_infer_fn(cfg: ModelConfig, ecfg: EvalConfig):
-    """[B]-image program: one dispatch for a whole image batch."""
+def make_batched_infer_fn(cfg: ModelConfig, ecfg: EvalConfig, mesh=None):
+    """[B]-image program: one dispatch for a whole image batch.
+
+    mesh: when given, the flat [B*Smax] decode-ROW axis is shard-constrained
+    over the ``data`` axis (sub-graph fan-out sharding — SURVEY.md §5's
+    sequence-parallel analog at sub-graph granularity).  Inputs replicate:
+    every device redundantly runs the tiny per-image encoder+NMS, then the
+    fan-out decode — where all the FLOPs are — splits across the mesh.
+    Unlike image-axis sharding this balances a SINGLE image's keep-1000
+    fan-out over devices (B < n_devices included)."""
 
     def infer(params, state, graph, subs, rng):
         enc = subgc.encode_images_batched(params, state, graph, subs, cfg, ecfg)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            rows = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            rep = NamedSharding(mesh, PartitionSpec())
+            c = lambda x: None if x is None \
+                else jax.lax.with_sharding_constraint(x, rows)
+            r = lambda x: None if x is None \
+                else jax.lax.with_sharding_constraint(x, rep)
+            f = enc.feats
+            # row-leading arrays shard; the per-image node streams (small)
+            # replicate, so each row's att_img[img_ix] gather is local
+            feats = f._replace(
+                fc=c(f.fc), att=c(f.att), p_att=c(f.p_att), mask=c(f.mask),
+                fc_ih=c(f.fc_ih), att_img=r(f.att_img),
+                p_att_img=r(f.p_att_img), img_ix=c(f.img_ix))
+            enc = enc._replace(feats=feats, scores=c(enc.scores),
+                               keep_ind=c(enc.keep_ind),
+                               keep_valid=c(enc.keep_valid))
         out = _decode(params, enc, cfg, ecfg, rng)
         B = graph.obj_fmap.shape[0]
         return {k: v.reshape((B, -1) + v.shape[1:]) for k, v in out.items()}
@@ -89,25 +116,36 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
                    ecfg: EvalConfig, vocab, split: str = "test",
                    num_images: int = -1, rng=None, verbose: bool = True,
                    collect_grounding=None, batch_images: int = 16,
-                   mesh=None):
+                   mesh=None, shard_axis: str = "image"):
     """Decode the split.  Returns (predictions, wall_seconds, n_captions).
 
     collect_grounding: optional callback(example, sents, sorted_ind,
     att_weights, order) for the grounding path (grd_utils.py:13-61).
 
-    mesh: optional jax.sharding.Mesh — the image axis (and with it the
-    sub-graph fan-out) shards over the ``data`` axis; params replicate
-    (SURVEY.md §2.3: this workload's sequence-parallel analog).
+    mesh: optional jax.sharding.Mesh — params replicate and, per
+    ``shard_axis``, either the image axis ("image": batch_images must
+    divide by the mesh) or the flat sub-graph-row axis ("subgraph": any
+    batch_images, single keep-1000 images balance across devices) shards
+    over ``data`` (SURVEY.md §2.3/§5: this workload's sequence-parallel
+    analog).
     """
+    if shard_axis not in ("image", "subgraph"):
+        raise ValueError(f"shard_axis must be 'image' or 'subgraph', "
+                         f"got {shard_axis!r}")
     if mesh is not None:
         from ..parallel import mesh as M
         params = M.replicate(mesh, params)
         state = M.replicate(mesh, state)
-        _place = lambda t: M.shard_leading_axis(
-            mesh, jax.tree_util.tree_map(jnp.asarray, t))
+        if shard_axis == "subgraph":
+            _place = lambda t: M.replicate(
+                mesh, jax.tree_util.tree_map(jnp.asarray, t))
+        else:
+            _place = lambda t: M.shard_leading_axis(
+                mesh, jax.tree_util.tree_map(jnp.asarray, t))
     else:
         _place = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
-    infer = make_batched_infer_fn(cfg, ecfg)
+    infer = make_batched_infer_fn(
+        cfg, ecfg, mesh=mesh if shard_axis == "subgraph" else None)
     rng = rng if rng is not None else jax.random.PRNGKey(2019)
 
     examples = list(loader.iter_split(split, num_images))

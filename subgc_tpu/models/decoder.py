@@ -613,6 +613,7 @@ def forward_teacher(params, feats: PreparedFeatures, seq, cfg: ModelConfig,
             state, prev_lp, step_rng = carry
             i, token_gt = inp
             xt_ih = None
+            token = token_gt    # eval-mode fallback when ss_prob is passed
         step_rng, r_ss, r_pick, r_drop = jax.random.split(step_rng, 4)
         if train and ss_prob is not None:
             # ss_prob may be a traced scalar (0.0 disables sampling at runtime

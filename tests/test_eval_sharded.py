@@ -43,3 +43,44 @@ def test_sharded_eval_matches_single(tmp_path):
         assert a["caption"] == b["caption"]
         np.testing.assert_allclose(a["subgraph_score"], b["subgraph_score"],
                                    rtol=1e-5)
+
+
+@pytest.mark.parametrize("batch_images", [1, 2])
+def test_subgraph_axis_sharded_eval_matches_single(tmp_path, batch_images):
+    """Row-axis (sub-graph fan-out) sharding: tokens equal single-device
+    even when the image batch is SMALLER than the mesh — the case the
+    image-axis shard cannot express (a lone keep-1000 image balances its
+    rows over all devices; SURVEY.md §5 sequence-parallel analog)."""
+    man = generate_dataset(str(tmp_path / "d"), n_images=6, seed=43)
+    mcfg = ModelConfig(vocab_size=man["vocab_size"], rnn_size=48,
+                       input_encoding_size=32, att_hid_size=24, gcn_dim=32,
+                       fc_feat_size=48, att_feat_size=man["feat_dim"],
+                       embed_dim=16, num_obj_classes=man["n_obj_classes"],
+                       num_rel_classes=man["n_rel_classes"])
+    dcfg = DataConfig(input_json=man["input_json"],
+                      input_label_h5=man["input_label_h5"],
+                      sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+    params, state = init_params(jax.random.PRNGKey(0), mcfg,
+                                n_obj_names=mcfg.num_obj_classes,
+                                n_pred_names=mcfg.num_rel_classes)
+    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4)
+
+    loader = EvalLoader(mcfg, dcfg, bucket=16)
+    single, _, _ = run_test_split(params, state, loader, mcfg, ecfg,
+                                  loader.vocab, verbose=False,
+                                  batch_images=batch_images)
+
+    mesh = M.make_mesh()
+    assert batch_images < mesh.devices.size
+    loader2 = EvalLoader(mcfg, dcfg, bucket=16)
+    sharded, _, _ = run_test_split(params, state, loader2, mcfg, ecfg,
+                                   loader2.vocab, verbose=False,
+                                   batch_images=batch_images, mesh=mesh,
+                                   shard_axis="subgraph")
+
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        assert a["image_id"] == b["image_id"]
+        assert a["caption"] == b["caption"]
+        np.testing.assert_allclose(a["subgraph_score"], b["subgraph_score"],
+                                   rtol=1e-5)

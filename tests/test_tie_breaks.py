@@ -50,17 +50,31 @@ def ref(tmp_path_factory):
 
 
 def _tie_words(model, pairs):
-    """Make each (w_keep, w_dup) pair exactly interchangeable, and boost both
-    biases equally so the tied pair actually reaches the top of the beam
-    (the boost is identical for both members, so the tie is preserved)."""
+    """Make the words of each (w_keep, w_dup) pair exactly interchangeable,
+    and boost all tied biases equally so the tied set actually reaches the
+    top of the beam.  Pairs sharing a word form one connected component
+    (e.g. [(2,4),(4,6)] ties 2,4,6 transitively): every member copies the
+    component root's rows and the per-component boost is applied ONCE, so
+    chains stay exactly tied."""
     import torch
+
+    comps = []                       # list of ordered member lists
+    for a, b in pairs:
+        hit = [c for c in comps if a in c or b in c]
+        merged = [w for c in hit for w in c]
+        for w in (a, b):
+            if w not in merged:
+                merged.append(w)
+        comps = [c for c in comps if c not in hit] + [merged]
     with torch.no_grad():
         emb = model.embed[0].weight
-        for i, (a, b) in enumerate(pairs):
-            emb[b] = emb[a]
-            model.logit.weight[b] = model.logit.weight[a]
-            model.logit.bias[a] += 3.0 - 0.5 * i
-            model.logit.bias[b] = model.logit.bias[a]
+        for i, comp in enumerate(comps):
+            root = comp[0]
+            model.logit.bias[root] += 3.0 - 0.5 * i
+            for w in comp[1:]:
+                emb[w] = emb[root]
+                model.logit.weight[w] = model.logit.weight[root]
+                model.logit.bias[w] = model.logit.bias[root]
 
 
 class _StableTorchSort:

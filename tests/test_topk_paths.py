@@ -23,18 +23,22 @@ def test_topk_small_tie_breaking():
     np.testing.assert_array_equal(np.asarray(i), [1, 2, 4])
 
 
-def test_greedy_topk_threshold():
-    """The argmax-pass kth-value matches a sort-based threshold."""
+def test_greedy_topk_mask_matches_sort():
+    """The shipped _topk_mask keeps exactly the k largest per row (the
+    sort-based reference selection) on tie-free rows."""
+    from subgc_tpu.decode.greedy import _topk_mask
+
     rng = np.random.RandomState(1)
-    lp2 = jnp.asarray(rng.randn(6, 40).astype("f"))
+    lp2 = jnp.asarray(rng.randn(6, 40).astype("f"))   # ties ~impossible
     k = 3
-    work = lp2
-    for _ in range(k - 1):
-        idx = jnp.argmax(work, axis=-1, keepdims=True)
-        work = jnp.put_along_axis(work, idx, -jnp.inf, axis=-1, inplace=False)
-    kth = work.max(-1, keepdims=True)
-    want = jnp.sort(lp2, axis=-1)[:, -k][:, None]
-    np.testing.assert_allclose(np.asarray(kth), np.asarray(want))
+    masked = np.asarray(_topk_mask(lp2, k))
+    kept = np.isfinite(masked)
+    want_kept = np.argsort(np.asarray(lp2), axis=-1)[:, -k:]
+    for r in range(lp2.shape[0]):
+        assert kept[r].sum() == k
+        assert set(np.nonzero(kept[r])[0]) == set(want_kept[r])
+    # kept entries keep their original values
+    np.testing.assert_array_equal(masked[kept], np.asarray(lp2)[kept])
 
 
 def test_topk_wordmajor_matches_transposed_flat():

@@ -200,10 +200,16 @@ def cmd_verify(root):
                 print(f"CHECKSUM MISMATCH {path}")
                 bad += 1
         else:
-            n = (sum(1 for f in os.listdir(p) if f.endswith(".npz"))
-                 if os.path.isdir(p) else 0)
+            names = ([f for f in os.listdir(p) if f.endswith(".npz")]
+                     if os.path.isdir(p) else [])
+            n = len(names)
             if n != pin["npz_count"]:
                 print(f"NPZ COUNT MISMATCH {path}: {n} != {pin['npz_count']}")
+                bad += 1
+                continue
+            total = sum(os.path.getsize(os.path.join(p, f)) for f in names)
+            if "bytes" in pin and total != pin["bytes"]:
+                print(f"NPZ BYTES MISMATCH {path}: {total} != {pin['bytes']}")
                 bad += 1
     print(f"{len(pins) - bad}/{len(pins)} verified ok")
     return 1 if bad else 0
