@@ -36,6 +36,10 @@ devices and round-robins requests across them: each replica keeps its own
 micro-batch queue, so the chips fill and run in parallel (throughput scales
 with chips for single-model serving, where data-parallel sharding of one
 dispatch would only shrink its batch).
+``--shard_fanout N`` is the complementary LATENCY mode: ONE model copy whose
+per-dispatch sub-graph fan-out rows shard across an N-device mesh
+(eval/runner.py row-axis sharding) — a single image's keep-1000 decode
+splits over the chips instead of queueing behind one.
 """
 from __future__ import annotations
 
@@ -117,7 +121,7 @@ def parse_checkpoint_spec(spec: str) -> tuple:
 
 def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                   microbatch_wait_ms: float = 3.0,
-                  adaptive_wait: bool = False, device=None):
+                  adaptive_wait: bool = False, device=None, mesh=None):
     """Returns handle(images_payload) -> results list.
 
     Concurrent requests coalesce into shared device dispatches via
@@ -127,7 +131,13 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
 
     device: optional jax.Device to pin this service's params and dispatches
     to — the building block for multi-replica serving (one handle per chip;
-    execution follows the committed params placement)."""
+    execution follows the committed params placement).
+
+    mesh: optional jax.sharding.Mesh — ONE model copy whose sub-graph
+    fan-out rows shard across the mesh (eval/runner.py row-axis sharding):
+    the LATENCY scale-out, complementary to ``device`` replicas
+    (throughput).  Params replicate; each dispatch's decode splits over
+    all mesh devices.  Mutually exclusive with ``device``."""
     import jax
     import jax.numpy as jnp
 
@@ -138,10 +148,16 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
     from ..utils.microbatch import MicroBatcher
     from ..utils.text import decode_sequence
 
-    infer = make_batched_infer_fn(mcfg, ecfg)
+    if device is not None and mesh is not None:
+        raise ValueError("device and mesh are mutually exclusive")
+    infer = make_batched_infer_fn(mcfg, ecfg, mesh=mesh)
     if device is not None:
         params = jax.device_put(params, device)
         state = jax.device_put(state, device)
+    elif mesh is not None:
+        from ..parallel.mesh import replicate
+        params = replicate(mesh, params)
+        state = replicate(mesh, state)
     bucket = ecfg.max_subgraph_bucket
 
     def to_example(img):
@@ -185,8 +201,16 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                              for i in range(4)])
         subs = SubgraphSet(*[np.stack([np.asarray(g[1][i]) for g in examples])
                              for i in range(4)])
-        to_dev = ((lambda x: jax.device_put(x, device))
-                  if device is not None else jnp.asarray)
+        if device is not None:
+            to_dev = lambda x: jax.device_put(x, device)
+        elif mesh is not None:
+            # inputs replicate; the jitted program shard-constrains the
+            # flat decode-row axis over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            to_dev = lambda x: jax.device_put(jnp.asarray(x), rep)
+        else:
+            to_dev = jnp.asarray
         out = jax.device_get(infer(
             params, state,
             jax.tree_util.tree_map(to_dev, graph),
@@ -273,16 +297,24 @@ class ModelService:
     devices: optional list of jax.Device — one service replica per device
     (params copied to each), requests routed round-robin.  None = default
     placement, single replica (the single-chip behavior, unchanged).
+
+    mesh: optional jax.sharding.Mesh — one model copy, each dispatch's
+    sub-graph fan-out rows sharded across the mesh (latency scale-out);
+    mutually exclusive with devices.
     """
 
     def __init__(self, params, state, mcfg, ecfg, vocab,
                  default_dtype: str = "bfloat16", batch_images: int = 8,
                  microbatch_wait_ms: float = 3.0,
-                 adaptive_wait: bool = False, devices=None):
+                 adaptive_wait: bool = False, devices=None, mesh=None):
         if default_dtype not in _DTYPES:
             raise ValueError(f"default_dtype must be one of {_DTYPES}")
         if devices is not None and len(devices) == 0:
             raise ValueError("devices must be None or non-empty")
+        if devices is not None and mesh is not None:
+            raise ValueError("devices (replicas) and mesh (fan-out "
+                             "sharding) are mutually exclusive")
+        self.mesh = mesh
         self.params, self.state, self.vocab = params, state, vocab
         # base config with dtype fields neutralized; variants derive from it
         self.mcfg = mcfg.replace(compute_dtype="float32",
@@ -321,7 +353,7 @@ class ModelService:
                 if self.devices is None:
                     self._handles[dtype] = build_service(
                         self.params, self.state, mcfg, self.ecfg,
-                        self.vocab, **self._kw)
+                        self.vocab, mesh=self.mesh, **self._kw)
                 else:
                     self._handles[dtype] = _ReplicaSet([
                         build_service(*self._params_on(d), mcfg,
@@ -360,7 +392,9 @@ class ModelService:
                 "beam_size": self.ecfg.beam_size,
                 "bucket": self.ecfg.max_subgraph_bucket,
                 "vocab_size": self.mcfg.vocab_size,
-                "replicas": len(self.devices) if self.devices else 1}
+                "replicas": len(self.devices) if self.devices else 1,
+                "fanout_devices":
+                    int(self.mesh.devices.size) if self.mesh else 1}
 
     def stats(self) -> dict:
         """Per-dtype serving counters for GET /stats: request/image counts,
@@ -487,6 +521,18 @@ def load_registry(args) -> ModelRegistry:
             raise SystemExit(f"--replicas {args.replicas} > "
                              f"{len(avail)} attached devices")
         devices = avail[:args.replicas]
+    mesh = None
+    if getattr(args, "shard_fanout", 1) > 1:
+        if devices is not None:
+            raise SystemExit("--shard_fanout and --replicas > 1 are "
+                             "mutually exclusive (latency vs throughput "
+                             "scale-out)")
+        avail = jax.devices()
+        if args.shard_fanout > len(avail):
+            raise SystemExit(f"--shard_fanout {args.shard_fanout} > "
+                             f"{len(avail)} attached devices")
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.shard_fanout)
 
     registry = ModelRegistry()
     for spec in args.checkpoint_path:
@@ -506,7 +552,7 @@ def load_registry(args) -> ModelRegistry:
             default_dtype=args.compute_dtype,
             batch_images=args.batch_images,
             microbatch_wait_ms=args.microbatch_wait_ms,
-            adaptive_wait=args.adaptive_wait, devices=devices))
+            adaptive_wait=args.adaptive_wait, devices=devices, mesh=mesh))
     return registry
 
 
@@ -538,6 +584,10 @@ def main(argv=None):
                         "device (jax.devices()[:N]), requests routed "
                         "round-robin — per-chip micro-batching, chips run "
                         "in parallel")
+    p.add_argument("--shard_fanout", type=int, default=1,
+                   help="shard each dispatch's sub-graph fan-out rows over "
+                        "an N-device mesh (ONE model copy, latency mode); "
+                        "mutually exclusive with --replicas > 1")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "

@@ -414,3 +414,41 @@ def test_load_registry_from_checkpoint(tmp_path):
     ns.replicas = 10**6
     with pytest.raises(SystemExit):
         load_registry(ns)
+
+
+def test_fanout_sharded_service():
+    """mesh=8-device: one model copy, dispatch rows sharded over the mesh
+    (latency mode) — captions identical to the default single-device
+    service; devices+mesh together is rejected."""
+    from subgc_tpu.parallel import mesh as M
+
+    cfg = ModelConfig(vocab_size=30, rnn_size=48, input_encoding_size=32,
+                      att_hid_size=24, gcn_dim=32, fc_feat_size=48,
+                      att_feat_size=64, embed_dim=16, num_obj_classes=12,
+                      num_rel_classes=6)
+    params, state = init_params(jax.random.PRNGKey(0), cfg,
+                                n_obj_names=12, n_pred_names=6)
+    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4,
+                      max_subgraph_bucket=16)
+    vocab = {str(i): f"w{i}" for i in range(1, 31)}
+    mesh = M.make_mesh()
+    assert mesh.devices.size == 8
+    kw = dict(default_dtype="float32", batch_images=2,
+              microbatch_wait_ms=5.0)
+    sharded = ModelService(params, state, cfg, ecfg, vocab, mesh=mesh, **kw)
+    single = ModelService(params, state, cfg, ecfg, vocab, **kw)
+    assert sharded.describe()["fanout_devices"] == 8
+    assert sharded.describe()["replicas"] == 1
+    assert single.describe()["fanout_devices"] == 1
+
+    rng = np.random.RandomState(13)
+    imgs = [_image(cfg, rng, i) for i in range(3)]
+    got = [sharded([img])[0] for img in imgs]
+    want = [single([img])[0] for img in imgs]
+    for g, w in zip(got, want):
+        assert g["captions"] == w["captions"]
+        np.testing.assert_allclose(g["scores"], w["scores"], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ModelService(params, state, cfg, ecfg, vocab,
+                     devices=jax.devices()[:2], mesh=mesh, **kw)
