@@ -477,23 +477,47 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path != "/caption":
+        if self.path not in ("/caption", "/caption_stream"):
             self._reply(404, {"error": "not found"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
+            images = req["images"]
             service = _Handler.service
             if isinstance(service, (ModelRegistry, ModelService)):
                 kw = {"dtype": req.get("dtype")}
                 if isinstance(service, ModelRegistry):
                     kw["model"] = req.get("model")
-                results = service(req["images"], **kw)
+                call = lambda imgs: service(imgs, **kw)
             else:               # plain build_service handle
-                results = service(req["images"])
-            self._reply(200, {"results": results})
+                call = service
+            if self.path == "/caption":
+                self._reply(200, {"results": call(images)})
+                return
         except Exception as e:      # pragma: no cover - defensive
             self._reply(400, {"error": repr(e)})
+            return
+        # /caption_stream: NDJSON, one result line per image, flushed per
+        # chunk as its dispatch drains — a 1000-image M-RNN request starts
+        # delivering after the first chunk instead of after the whole run.
+        # No Content-Length: the HTTP/1.0 stream ends when the connection
+        # closes, after the {"done": ...} trailer line.
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.end_headers()
+        chunk = max(1, int(req.get("chunk", 8)))
+        n = 0
+        try:
+            for i in range(0, len(images), chunk):
+                for r in call(images[i:i + chunk]):
+                    self.wfile.write((json.dumps(r) + "\n").encode())
+                    n += 1
+                self.wfile.flush()
+            tail = {"done": True, "count": n}
+        except Exception as e:      # headers already sent: error trailer
+            tail = {"done": False, "count": n, "error": repr(e)}
+        self.wfile.write((json.dumps(tail) + "\n").encode())
 
 
 def serve(service, host: str = "127.0.0.1", port: int = 8742):

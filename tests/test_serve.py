@@ -452,3 +452,41 @@ def test_fanout_sharded_service():
     with pytest.raises(ValueError, match="mutually exclusive"):
         ModelService(params, state, cfg, ecfg, vocab,
                      devices=jax.devices()[:2], mesh=mesh, **kw)
+
+
+def test_caption_stream(server):
+    """POST /caption_stream returns NDJSON: one result line per image (same
+    content as /caption) + a done trailer with the count; results are
+    delivered per chunk."""
+    url, cfg, _ = server
+    rng = np.random.RandomState(17)
+    imgs = [_image(cfg, rng, i) for i in range(5)]
+    want = _post(f"{url}/caption", {"images": imgs})["results"]
+
+    req = urllib.request.Request(
+        f"{url}/caption_stream",
+        json.dumps({"images": imgs, "chunk": 2}).encode(),
+        {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in resp.read().splitlines()]
+    assert lines[-1] == {"done": True, "count": 5}
+    got = lines[:-1]
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        assert g["captions"] == w["captions"]
+        np.testing.assert_allclose(g["scores"], w["scores"], rtol=1e-6)
+
+
+def test_caption_stream_bad_request(server):
+    """Malformed stream requests still get a clean 400 (headers not yet
+    sent)."""
+    url, _, _ = server
+    req = urllib.request.Request(
+        f"{url}/caption_stream", json.dumps({"wrong": 1}).encode(),
+        {"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
