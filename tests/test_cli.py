@@ -234,6 +234,18 @@ def test_cli_sharded_eval_matches_single(synth, tmp_path):
         np.testing.assert_allclose(a["subgraph_score"], b["subgraph_score"],
                                    rtol=1e-6)
 
+    # --shard_subgraphs: row-axis sharding over MORE devices than the
+    # image batch (4 > 2) — the divisibility requirement doesn't apply
+    test_cli.main(common + ["--iter_tag", "rows", "--n_devices", "4",
+                            "--shard_subgraphs"])
+    rows = np.load(os.path.join(ckpt, "captions_rows.npy"),
+                   allow_pickle=True).tolist()
+    for a, b in zip(single, rows):
+        assert a["image_id"] == b["image_id"]
+        assert a["caption"] == b["caption"]
+        np.testing.assert_allclose(a["subgraph_score"], b["subgraph_score"],
+                                   rtol=1e-6)
+
     # misconfiguration is a clean error, not a shape crash
     with pytest.raises(SystemExit):
         test_cli.main(common + ["--iter_tag", "bad", "--n_devices", "3"])
