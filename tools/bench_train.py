@@ -29,8 +29,11 @@ def main():
     from subgc_tpu.graph import SceneGraph
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # BENCH_GATES=1 adds the opt-in bf16 LSTM gate streams
+    # (cli/train.py --bf16_lstm_gates) on top of the compute dtype
     cfg = ModelConfig(vocab_size=9487,
-                      compute_dtype=os.environ.get("BENCH_DTYPE", "float32"))
+                      compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+                      bf16_lstm_gates=os.environ.get("BENCH_GATES") == "1")
     tcfg = TrainConfig(batch_size=B)
     params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                  n_obj_names=1599, n_pred_names=21)
