@@ -155,9 +155,10 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
         params = jax.device_put(params, device)
         state = jax.device_put(state, device)
     elif mesh is not None:
-        from ..parallel.mesh import replicate
+        from ..parallel.mesh import replicate, replicated
         params = replicate(mesh, params)
         state = replicate(mesh, state)
+        mesh_rep = replicated(mesh)     # hoisted: reused by every dispatch
     bucket = ecfg.max_subgraph_bucket
 
     def to_example(img):
@@ -206,9 +207,7 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
         elif mesh is not None:
             # inputs replicate; the jitted program shard-constrains the
             # flat decode-row axis over the mesh
-            from jax.sharding import NamedSharding, PartitionSpec
-            rep = NamedSharding(mesh, PartitionSpec())
-            to_dev = lambda x: jax.device_put(jnp.asarray(x), rep)
+            to_dev = lambda x: jax.device_put(jnp.asarray(x), mesh_rep)
         else:
             to_dev = jnp.asarray
         out = jax.device_get(infer(
@@ -484,11 +483,21 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
             images = req["images"]
+            if not isinstance(images, list):
+                raise ValueError("images must be a list")
+            chunk = max(1, int(req.get("chunk", 8)))
             service = _Handler.service
             if isinstance(service, (ModelRegistry, ModelService)):
                 kw = {"dtype": req.get("dtype")}
+                if kw["dtype"] is not None and kw["dtype"] not in _DTYPES:
+                    raise ValueError(f"dtype must be one of {_DTYPES}")
                 if isinstance(service, ModelRegistry):
                     kw["model"] = req.get("model")
+                    name = kw["model"] or service.default
+                    if name not in service.models:
+                        raise ValueError(f"unknown model {name!r}; "
+                                         f"available: "
+                                         f"{sorted(service.models)}")
                 call = lambda imgs: service(imgs, **kw)
             else:               # plain build_service handle
                 call = service
@@ -501,12 +510,14 @@ class _Handler(BaseHTTPRequestHandler):
         # /caption_stream: NDJSON, one result line per image, flushed per
         # chunk as its dispatch drains — a 1000-image M-RNN request starts
         # delivering after the first chunk instead of after the whole run.
-        # No Content-Length: the HTTP/1.0 stream ends when the connection
-        # closes, after the {"done": ...} trailer line.
+        # Everything knowable up front (payload shape, chunk, model, dtype)
+        # was validated above so bad requests still 400; only mid-decode
+        # failures downgrade to the error trailer.  No Content-Length: the
+        # HTTP/1.0 stream ends when the connection closes, after the
+        # {"done": ...} trailer line.
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.end_headers()
-        chunk = max(1, int(req.get("chunk", 8)))
         n = 0
         try:
             for i in range(0, len(images), chunk):
@@ -517,7 +528,10 @@ class _Handler(BaseHTTPRequestHandler):
             tail = {"done": True, "count": n}
         except Exception as e:      # headers already sent: error trailer
             tail = {"done": False, "count": n, "error": repr(e)}
-        self.wfile.write((json.dumps(tail) + "\n").encode())
+        try:
+            self.wfile.write((json.dumps(tail) + "\n").encode())
+        except OSError:             # client hung up mid-stream: normal
+            pass
 
 
 def serve(service, host: str = "127.0.0.1", port: int = 8742):

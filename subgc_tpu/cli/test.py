@@ -186,6 +186,10 @@ def main(argv=None):
                     gvd["det_id_to_det_wd"], img_wh, rerank_ind=rr)
 
         mesh = None
+        if args.shard_subgraphs and not (args.n_devices
+                                         and args.n_devices > 1):
+            raise SystemExit("--shard_subgraphs requires --n_devices > 1 "
+                             "(it picks WHICH axis shards over the mesh)")
         if args.n_devices and args.n_devices > 1:
             from ..parallel.mesh import make_mesh
             avail = len(jax.devices())

@@ -79,10 +79,9 @@ def make_batched_infer_fn(cfg: ModelConfig, ecfg: EvalConfig, mesh=None):
     def infer(params, state, graph, subs, rng):
         enc = subgc.encode_images_batched(params, state, graph, subs, cfg, ecfg)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            from ..parallel.mesh import DATA_AXIS
-            rows = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
-            rep = NamedSharding(mesh, PartitionSpec())
+            from ..parallel.mesh import batch_sharded, replicated
+            rows = batch_sharded(mesh)
+            rep = replicated(mesh)
             c = lambda x: None if x is None \
                 else jax.lax.with_sharding_constraint(x, rows)
             r = lambda x: None if x is None \

@@ -249,3 +249,6 @@ def test_cli_sharded_eval_matches_single(synth, tmp_path):
     # misconfiguration is a clean error, not a shape crash
     with pytest.raises(SystemExit):
         test_cli.main(common + ["--iter_tag", "bad", "--n_devices", "3"])
+    # --shard_subgraphs without a mesh would silently no-op; refuse it
+    with pytest.raises(SystemExit):
+        test_cli.main(common + ["--iter_tag", "bad2", "--shard_subgraphs"])

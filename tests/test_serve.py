@@ -479,11 +479,33 @@ def test_caption_stream(server):
 
 
 def test_caption_stream_bad_request(server):
-    """Malformed stream requests still get a clean 400 (headers not yet
-    sent)."""
-    url, _, _ = server
+    """Everything knowable before decode (payload shape, chunk, dtype)
+    gets a clean 400 — never a 200 with an error trailer."""
+    url, cfg, _ = server
+    rng = np.random.RandomState(19)
+    img = _image(cfg, rng, 0)
+    for payload in ({"wrong": 1},                       # no images
+                    {"images": 42},                     # not a list
+                    {"images": [img], "chunk": "four"},  # bad chunk
+                    {"images": [img], "dtype": "fp8"}):  # bad dtype
+        req = urllib.request.Request(
+            f"{url}/caption_stream", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, f"expected HTTP 400 for {payload}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, payload
+
+
+def test_caption_stream_unknown_model_is_400(registry_server):
+    """Unknown model on the streaming endpoint 400s BEFORE headers (same
+    status semantics as /caption), not 200 + error trailer."""
+    url, cfg, _ = registry_server
+    rng = np.random.RandomState(23)
+    payload = {"images": [_image(cfg, rng, 0)], "model": "nope"}
     req = urllib.request.Request(
-        f"{url}/caption_stream", json.dumps({"wrong": 1}).encode(),
+        f"{url}/caption_stream", json.dumps(payload).encode(),
         {"Content-Type": "application/json"})
     try:
         urllib.request.urlopen(req, timeout=60)
