@@ -45,8 +45,9 @@ def test_sharded_eval_matches_single(tmp_path):
                                    rtol=1e-5)
 
 
-@pytest.mark.parametrize("batch_images", [1, 2])
-def test_subgraph_axis_sharded_eval_matches_single(tmp_path, batch_images):
+@pytest.mark.parametrize("batch_images,beam_chunk", [(1, 0), (2, 0), (1, 8)])
+def test_subgraph_axis_sharded_eval_matches_single(tmp_path, batch_images,
+                                                   beam_chunk):
     """Row-axis (sub-graph fan-out) sharding: tokens equal single-device
     even when the image batch is SMALLER than the mesh — the case the
     image-axis shard cannot express (a lone keep-1000 image balances its
@@ -63,7 +64,11 @@ def test_subgraph_axis_sharded_eval_matches_single(tmp_path, batch_images):
     params, state = init_params(jax.random.PRNGKey(0), mcfg,
                                 n_obj_names=mcfg.num_obj_classes,
                                 n_pred_names=mcfg.num_rel_classes)
-    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4)
+    # beam_chunk=8 < the 16-row bucket exercises the chunked-beam path
+    # UNDER the row-sharding constraint (otherwise only the dryrun covers
+    # that interplay)
+    ecfg = EvalConfig(beam_size=2, gpn_nms_thres=0.75, gpn_max_subg=4,
+                      beam_chunk=beam_chunk)
 
     loader = EvalLoader(mcfg, dcfg, bucket=16)
     single, _, _ = run_test_split(params, state, loader, mcfg, ecfg,
