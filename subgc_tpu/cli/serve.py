@@ -53,6 +53,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from ..utils.microbatch import QueueFull
+
 
 class LatencyWindow:
     """Sliding window of recent request latencies (seconds) + lifetime
@@ -121,7 +123,8 @@ def parse_checkpoint_spec(spec: str) -> tuple:
 
 def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
                   microbatch_wait_ms: float = 3.0,
-                  adaptive_wait: bool = False, device=None, mesh=None):
+                  adaptive_wait: bool = False, device=None, mesh=None,
+                  max_queue: int = 0):
     """Returns handle(images_payload) -> results list.
 
     Concurrent requests coalesce into shared device dispatches via
@@ -220,19 +223,17 @@ def build_service(params, state, mcfg, ecfg, vocab, batch_images: int = 8,
 
     batcher = MicroBatcher(run_batch, max_batch=batch_images,
                            max_wait_ms=microbatch_wait_ms,
-                           adaptive=adaptive_wait)
+                           adaptive=adaptive_wait, max_queue=max_queue)
 
     latency = LatencyWindow()
 
     def handle(images):
-        # split oversized requests so each chunk fits one dispatch; chunks
-        # and other clients' images share dispatches
+        # one atomic submit: the batcher splits the items into
+        # <=batch_images dispatches itself, other clients' images share
+        # them, and with max_queue set admission is all-or-nothing (no
+        # half-served request burns a dispatch before being shed)
         t0 = time.monotonic()
-        chunks = [[to_example(img) for img in images[i:i + batch_images]]
-                  for i in range(0, len(images), batch_images)]
-        outs = []
-        for chunk in chunks:
-            outs.extend(batcher.submit_many(chunk))
+        outs = batcher.submit_many([to_example(img) for img in images])
         results = []
         for img, out in zip(images, outs):
             n = int(out["keep_valid"].sum())
@@ -305,7 +306,8 @@ class ModelService:
     def __init__(self, params, state, mcfg, ecfg, vocab,
                  default_dtype: str = "bfloat16", batch_images: int = 8,
                  microbatch_wait_ms: float = 3.0,
-                 adaptive_wait: bool = False, devices=None, mesh=None):
+                 adaptive_wait: bool = False, devices=None, mesh=None,
+                 max_queue: int = 0):
         if default_dtype not in _DTYPES:
             raise ValueError(f"default_dtype must be one of {_DTYPES}")
         if devices is not None and len(devices) == 0:
@@ -323,7 +325,7 @@ class ModelService:
         self.devices = devices
         self._kw = dict(batch_images=batch_images,
                         microbatch_wait_ms=microbatch_wait_ms,
-                        adaptive_wait=adaptive_wait)
+                        adaptive_wait=adaptive_wait, max_queue=max_queue)
         self._handles = {}
         self._placed = {}       # device -> (params, state), shared by dtypes
         self._lock = threading.Lock()
@@ -405,7 +407,8 @@ class ModelService:
             reps = h.handles if isinstance(h, _ReplicaSet) else [h]
             d = {"replicas": [{"dispatches": r.batcher.dispatch_count,
                                "images": r.batcher.item_count,
-                               "load": r.batcher.load()} for r in reps]}
+                               "load": r.batcher.load(),
+                               "shed": r.batcher.shed_count} for r in reps]}
             snaps = [r.latency.snapshot() for r in reps]
             d["requests"] = sum(s[0] for s in snaps)
             d["images"] = sum(s[1] for s in snaps)
@@ -467,11 +470,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply(200, {"ok": True})
-        elif self.path == "/models" and hasattr(_Handler.service,
-                                                "describe"):
-            self._reply(200, _Handler.service.describe())
-        elif self.path == "/stats" and hasattr(_Handler.service, "stats"):
-            self._reply(200, _Handler.service.stats())
+        elif self.path == "/models" and hasattr(self.service, "describe"):
+            self._reply(200, self.service.describe())
+        elif self.path == "/stats" and hasattr(self.service, "stats"):
+            self._reply(200, self.service.stats())
         else:
             self._reply(404, {"error": "not found"})
 
@@ -485,8 +487,16 @@ class _Handler(BaseHTTPRequestHandler):
             images = req["images"]
             if not isinstance(images, list):
                 raise ValueError("images must be a list")
-            chunk = max(1, int(req.get("chunk", 8)))
-            service = _Handler.service
+            chunk = 8
+            if self.path == "/caption_stream":
+                # chunk only shapes streaming granularity; /caption
+                # ignores it (single dispatch), so don't 400 on it there
+                raw_chunk = req.get("chunk", 8)
+                if not isinstance(raw_chunk, int) or isinstance(
+                        raw_chunk, bool) or raw_chunk < 1:
+                    raise ValueError("chunk must be a positive integer")
+                chunk = raw_chunk
+            service = self.service
             if isinstance(service, (ModelRegistry, ModelService)):
                 kw = {"dtype": req.get("dtype")}
                 if kw["dtype"] is not None and kw["dtype"] not in _DTYPES:
@@ -500,34 +510,60 @@ class _Handler(BaseHTTPRequestHandler):
                                          f"{sorted(service.models)}")
                 call = lambda imgs: service(imgs, **kw)
             else:               # plain build_service handle
+                for field in ("dtype", "model"):
+                    if req.get(field) is not None:
+                        raise ValueError(
+                            f"per-request {field!r} requires a "
+                            f"ModelService/ModelRegistry backend; this "
+                            f"endpoint serves a single fixed model")
                 call = service
             if self.path == "/caption":
                 self._reply(200, {"results": call(images)})
                 return
-        except Exception as e:      # pragma: no cover - defensive
+            # /caption_stream: compute the FIRST chunk before committing to
+            # a 200 — overload (QueueFull) and first-dispatch failures shed
+            # as proper status codes instead of a 200 + error trailer
+            first = call(images[:chunk]) if images else []
+        except QueueFull as e:
+            self.send_response(429)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After", "1")
+            blob = json.dumps({"error": str(e), "shed": True}).encode()
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+            return
+        except Exception as e:
+            # load-bearing request validation: every 400 above routes
+            # through here (exercised by test_serve bad-request cases)
             self._reply(400, {"error": repr(e)})
             return
         # /caption_stream: NDJSON, one result line per image, flushed per
         # chunk as its dispatch drains — a 1000-image M-RNN request starts
         # delivering after the first chunk instead of after the whole run.
-        # Everything knowable up front (payload shape, chunk, model, dtype)
-        # was validated above so bad requests still 400; only mid-decode
-        # failures downgrade to the error trailer.  No Content-Length: the
-        # HTTP/1.0 stream ends when the connection closes, after the
-        # {"done": ...} trailer line.
+        # Everything knowable up front (payload shape, chunk, model, dtype,
+        # admission of the first chunk) was resolved above so bad requests
+        # still get real status codes; only mid-decode failures downgrade
+        # to the error trailer.  No Content-Length: the HTTP/1.0 stream
+        # ends when the connection closes, after the {"done":...} trailer.
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.end_headers()
         n = 0
         try:
-            for i in range(0, len(images), chunk):
+            for r in first:
+                self.wfile.write((json.dumps(r) + "\n").encode())
+                n += 1
+            self.wfile.flush()
+            for i in range(chunk, len(images), chunk):
                 for r in call(images[i:i + chunk]):
                     self.wfile.write((json.dumps(r) + "\n").encode())
                     n += 1
                 self.wfile.flush()
             tail = {"done": True, "count": n}
         except Exception as e:      # headers already sent: error trailer
-            tail = {"done": False, "count": n, "error": repr(e)}
+            tail = {"done": False, "count": n, "error": repr(e),
+                    "shed": isinstance(e, QueueFull)}
         try:
             self.wfile.write((json.dumps(tail) + "\n").encode())
         except OSError:             # client hung up mid-stream: normal
@@ -535,8 +571,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(service, host: str = "127.0.0.1", port: int = 8742):
-    _Handler.service = service
-    httpd = ThreadingHTTPServer((host, port), _Handler)
+    # per-server handler subclass: several serve() calls in one process
+    # (tests, multi-port deployments) must not hijack each other's service
+    # through the shared _Handler class attribute
+    # staticmethod: a plain-function service stored as a class attribute
+    # would otherwise bind as a method and receive the handler as `self`
+    handler = type("_BoundHandler", (_Handler,),
+                   {"service": staticmethod(service)})
+    httpd = ThreadingHTTPServer((host, port), handler)
     return httpd
 
 
@@ -590,7 +632,8 @@ def load_registry(args) -> ModelRegistry:
             default_dtype=args.compute_dtype,
             batch_images=args.batch_images,
             microbatch_wait_ms=args.microbatch_wait_ms,
-            adaptive_wait=args.adaptive_wait, devices=devices, mesh=mesh))
+            adaptive_wait=args.adaptive_wait, devices=devices, mesh=mesh,
+            max_queue=getattr(args, "max_queue", 0)))
     return registry
 
 
@@ -626,6 +669,14 @@ def main(argv=None):
                    help="shard each dispatch's sub-graph fan-out rows over "
                         "an N-device mesh (ONE model copy, latency mode); "
                         "mutually exclusive with --replicas > 1")
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="overload protection: per-model-queue cap on queued"
+                        " + in-flight images; a request that would exceed "
+                        "it is shed with HTTP 429 + Retry-After instead of "
+                        "growing every client's latency without bound.  "
+                        "Must exceed the largest single request (bigger "
+                        "ones always 429 — stream them in chunks instead). "
+                        " 0 = unbounded (pre-r5 behavior)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="serving compute dtype; bfloat16 (+ bf16 LSTM gate "

@@ -131,6 +131,10 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
     if shard_axis not in ("image", "subgraph"):
         raise ValueError(f"shard_axis must be 'image' or 'subgraph', "
                          f"got {shard_axis!r}")
+    if shard_axis != "image" and mesh is None:
+        raise ValueError(
+            f"shard_axis={shard_axis!r} requires a mesh (it would silently "
+            f"run unsharded otherwise); pass mesh= or use shard_axis='image'")
     if mesh is not None:
         from ..parallel import mesh as M
         params = M.replicate(mesh, params)

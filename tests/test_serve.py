@@ -498,6 +498,37 @@ def test_caption_stream_bad_request(server):
             assert e.code == 400, payload
 
 
+def test_caption_chunk_ignored(server):
+    """chunk only shapes /caption_stream granularity; /caption accepts and
+    ignores it — even a malformed value must not 400 a valid request."""
+    url, cfg, _ = server
+    rng = np.random.RandomState(29)
+    img = _image(cfg, rng, 0)
+    for chunk in ("four", 2.5, 3):
+        out = _post(f"{url}/caption", {"images": [img], "chunk": chunk})
+        assert len(out["results"]) == 1
+
+
+def test_plain_handle_rejects_per_request_fields(server):
+    """A plain build_service handle serves one fixed model/dtype; requests
+    carrying dtype/model get an explicit 400 (not a silent ignore) on both
+    endpoints — per-request routing requires ModelService/ModelRegistry."""
+    url, cfg, _ = server
+    rng = np.random.RandomState(31)
+    img = _image(cfg, rng, 0)
+    for endpoint in ("/caption", "/caption_stream"):
+        for payload in ({"images": [img], "dtype": "bfloat16"},
+                        {"images": [img], "model": "kar"}):
+            req = urllib.request.Request(
+                f"{url}{endpoint}", json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                assert False, f"expected 400 for {payload} on {endpoint}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (endpoint, payload)
+
+
 def test_caption_stream_unknown_model_is_400(registry_server):
     """Unknown model on the streaming endpoint 400s BEFORE headers (same
     status semantics as /caption), not 200 + error trailer."""
@@ -512,3 +543,72 @@ def test_caption_stream_unknown_model_is_400(registry_server):
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_overload_sheds_with_429():
+    """Serving overload protection: with a bounded queue, a burst beyond
+    device throughput gets every request either served (200) or shed
+    (429 + Retry-After) — never an unbounded queue.  Covers /caption and
+    the pre-header path of /caption_stream."""
+    import time as _time
+
+    cfg = ModelConfig(vocab_size=30, rnn_size=48, input_encoding_size=32,
+                      att_hid_size=24, gcn_dim=32, fc_feat_size=48,
+                      att_feat_size=64, embed_dim=16, num_obj_classes=12,
+                      num_rel_classes=6)
+    params, state = init_params(jax.random.PRNGKey(0), cfg,
+                                n_obj_names=12, n_pred_names=6)
+    ecfg = EvalConfig(beam_size=1, gpn_nms_thres=0.75, gpn_max_subg=2,
+                      max_subgraph_bucket=16)
+    vocab = {str(i): f"w{i}" for i in range(1, 31)}
+    service = build_service(params, state, cfg, ecfg, vocab,
+                            batch_images=1, microbatch_wait_ms=1.0,
+                            max_queue=2)
+    # make each dispatch slow enough that a 12-request burst must overflow
+    # the 2-item queue regardless of scheduler timing
+    orig = service.batcher._run
+    service.batcher._run = lambda xs: (_time.sleep(0.25), orig(xs))[1]
+    httpd = serve(service, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        rng = np.random.RandomState(37)
+        img = _image(cfg, rng, 0)
+        # warm the jit outside the burst (first dispatch pays compile)
+        _post(f"{url}/caption", {"images": [img]})
+
+        codes, retry_after = [], []
+
+        def fire(endpoint):
+            req = urllib.request.Request(
+                f"{url}{endpoint}", json.dumps({"images": [img]}).encode(),
+                {"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    codes.append(resp.getcode())
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+                if e.code == 429:
+                    retry_after.append(e.headers.get("Retry-After"))
+                    body = json.loads(e.read())
+                    assert body.get("shed") is True
+
+        ts = [threading.Thread(target=fire, args=(ep,))
+              for ep in ["/caption"] * 8 + ["/caption_stream"] * 4]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(codes) == 12
+        assert set(codes) <= {200, 429}, codes
+        assert 200 in codes, "burst shed everything"
+        assert 429 in codes, "nothing shed at 12 concurrent vs queue cap 2"
+        assert all(r is not None for r in retry_after)
+        # shed requests are visible in the batcher counters
+        assert service.batcher.shed_count == codes.count(429)
+        # the service still answers after the burst
+        out = _post(f"{url}/caption", {"images": [img]})
+        assert len(out["results"]) == 1
+    finally:
+        httpd.shutdown()
