@@ -30,6 +30,19 @@ from typing import Callable, List, Sequence
 _UNSET = object()
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit/submit_many when admission would push the queue past
+    ``max_queue`` — the caller (e.g. the HTTP layer) turns this into load
+    shedding (429) instead of letting every client's latency grow without
+    bound."""
+
+    def __init__(self, load: int, max_queue: int):
+        super().__init__(f"micro-batch queue full ({load} queued/in-flight "
+                         f">= cap {max_queue})")
+        self.load = load
+        self.max_queue = max_queue
+
+
 class AdaptiveWait:
     """Fill-window policy tuned from the observed arrival rate.
 
@@ -85,21 +98,32 @@ class MicroBatcher:
 
     adaptive=True replaces the fixed fill window with :class:`AdaptiveWait`
     (max_wait_ms becomes its cap).
+
+    max_queue > 0 bounds queue pressure (queued items plus one in-flight
+    batch): a submit that would exceed it raises :class:`QueueFull`
+    immediately instead of joining an unboundedly growing line.  0 keeps
+    the historical unbounded behavior.
     """
 
     def __init__(self, run_batch: Callable[[List], List], max_batch: int,
-                 max_wait_ms: float = 3.0, adaptive: bool = False):
+                 max_wait_ms: float = 3.0, adaptive: bool = False,
+                 max_queue: int = 0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_queue and max_queue < max_batch:
+            raise ValueError(f"max_queue ({max_queue}) must be >= max_batch "
+                             f"({max_batch}) or 0 (unbounded)")
         self._run = run_batch
         self._max = max_batch
         self._wait_s = max_wait_ms / 1000.0
         self._adaptive = AdaptiveWait(max_wait_ms) if adaptive else None
+        self._max_queue = int(max_queue)  # 0 = unbounded
         self._cv = threading.Condition()
         self._queue: List[list] = []     # [item, result, error] cells
         self._busy = False
         self.dispatch_count = 0          # observability (tests/metrics)
         self.item_count = 0              # total items across dispatches
+        self.shed_count = 0              # items refused by the queue cap
 
     def load(self) -> int:
         """Instantaneous queue pressure: queued items, plus a full batch
@@ -117,6 +141,14 @@ class MicroBatcher:
         cells = [[it, _UNSET, None] for it in items]
         cv = self._cv
         with cv:
+            if self._max_queue:
+                # admission control is all-or-nothing per call: shedding a
+                # request's tail items while serving its head would hand the
+                # caller a partial result
+                load = len(self._queue) + (self._max if self._busy else 0)
+                if load + len(cells) > self._max_queue:
+                    self.shed_count += len(cells)
+                    raise QueueFull(load, self._max_queue)
             if self._adaptive is not None:
                 self._adaptive.observe_arrivals(len(cells))
             self._queue.extend(cells)

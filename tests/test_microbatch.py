@@ -116,3 +116,102 @@ def test_adaptive_batcher_end_to_end():
         assert mb.submit(i) == i * 2
     assert time.monotonic() - t0 < 2.0
     assert sum(seen) == 6
+
+
+def test_max_queue_sheds_excess():
+    """Admission control: submits that would push queued+in-flight past
+    max_queue raise QueueFull instead of joining the line."""
+    from subgc_tpu.utils.microbatch import QueueFull
+    release = threading.Event()
+
+    def slow(xs):
+        release.wait(5.0)
+        return [x + 1 for x in xs]
+
+    mb = MicroBatcher(slow, max_batch=2, max_wait_ms=1.0, max_queue=4)
+    results, errors = [], []
+
+    def worker(x):
+        try:
+            results.append(mb.submit(x))
+        except QueueFull as e:
+            errors.append(e)
+
+    # 8 concurrent singles against capacity 4: the first dispatch (2 items)
+    # goes in flight, 2 more queue, the rest must shed
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+        time.sleep(0.02)        # deterministic arrival order
+    release.set()
+    for t in ts:
+        t.join()
+    assert len(results) + len(errors) == 8
+    assert errors, "nothing was shed at 2x capacity"
+    assert results, "everything was shed"
+    for e in errors:
+        assert e.max_queue == 4 and e.load >= 2
+    assert mb.shed_count == len(errors)
+
+
+def test_max_queue_all_or_nothing():
+    """A multi-item submit is admitted atomically: either every item rides
+    or the whole request sheds (no partially-served request)."""
+    from subgc_tpu.utils.microbatch import QueueFull
+    mb = MicroBatcher(lambda xs: [x * 2 for x in xs], max_batch=4,
+                      max_wait_ms=1.0, max_queue=4)
+    # fits exactly
+    assert mb.submit_many([1, 2, 3, 4]) == [2, 4, 6, 8]
+    # one larger than the cap -> immediate shed, nothing processed
+    before = mb.item_count
+    with pytest.raises(QueueFull):
+        mb.submit_many([1, 2, 3, 4, 5])
+    assert mb.item_count == before
+    assert mb.shed_count == 5
+    # the batcher still serves normally afterwards
+    assert mb.submit(10) == 20
+
+
+def test_max_queue_validation():
+    with pytest.raises(ValueError, match="max_queue"):
+        MicroBatcher(lambda xs: xs, max_batch=8, max_queue=4)
+
+
+def test_overload_soak_bounded_and_live():
+    """Soak at ~3x capacity: every request is either served correctly or
+    shed with QueueFull, the instantaneous load never exceeds the cap, and
+    the batcher keeps serving after the burst (no deadlock, no leak)."""
+    from subgc_tpu.utils.microbatch import QueueFull
+    cap = 8
+    observed = []
+
+    def slowish(xs):
+        observed.append(len(xs))
+        time.sleep(0.01)
+        return [x + 100 for x in xs]
+
+    mb = MicroBatcher(slowish, max_batch=4, max_wait_ms=1.0, max_queue=cap)
+    served, shed, wrong = [], [], []
+    loads = []
+
+    def client(i):
+        for j in range(10):
+            try:
+                r = mb.submit(i * 100 + j)
+                (served if r == i * 100 + j + 100 else wrong).append(r)
+            except QueueFull:
+                shed.append((i, j))
+            loads.append(mb.load())
+
+    ts = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not wrong
+    assert len(served) + len(shed) == 120
+    assert served, "soak shed everything"
+    # load() measured between submits bounds queued + one in-flight batch
+    assert max(loads) <= cap + mb._max
+    # still alive after the storm
+    assert mb.submit(7) == 107
