@@ -5,8 +5,14 @@ beam=3 to match BASELINE.json's metric): per image, one jitted program runs
 encoder + sGPN scoring of a 128-sub-graph bucket + NMS + beam-3 decode of the
 10 kept sub-graphs.  Metric = decoded captions / second / chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+Prints ONE JSON line.  A bare run (no BENCH_PRESET) measures ALL THREE
+headline workloads and emits the kar record's fields at top level plus a
+"records" array holding every preset's record, so the driver-captured
+BENCH_r*.json is artifact-backed for all three numbers (VERDICT r4 item 7):
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "records": [{kar}, {mrnn}, {train}]}
+BENCH_PRESET=kar|mrnn|train restores the single-preset behavior (that one
+record printed alone, still with a singleton "records" list).
 
 vs_baseline: the reference publishes no throughput number (SURVEY.md §6).
 Baseline here = the reference PyTorch model measured on this host's CPU
@@ -33,10 +39,11 @@ GPU_EST_FACTOR = 30.0
 
 
 def _bench_train():
-    """BENCH_PRESET=train: the fused train step (fwd+bwd+adam) at production
-    dims — one JSON line in the same schema so the driver can capture the
-    training number alongside the inference presets (VERDICT r2 item 6).
-    Env: BENCH_BATCH (default 64), BENCH_DTYPE (default bfloat16)."""
+    """train preset: the fused train step (fwd+bwd+adam) at production
+    dims — returns one record in the same schema so the driver can capture
+    the training number alongside the inference presets (VERDICT r2 item 6).
+    Env: BENCH_BATCH (default 256, the measured single-chip sweet spot),
+    BENCH_DTYPE (default bfloat16)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,16 +56,23 @@ def _bench_train():
     from subgc_tpu.utils.profiling import decode_flops_per_row
     enable_compilation_cache()
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # headline config (docs/PERF.md round 4): batch 256, bf16 compute +
+    # bf16 gate streams, ss-inactive (hoisted input projections) = 2,020
+    # img/s.  Each knob has an env override for A/B runs.
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype)
+    gates = os.environ.get("BENCH_GATES",
+                           "1" if dtype == "bfloat16" else "0") == "1"
+    ss_active = os.environ.get("BENCH_SS", "0") == "1"
+    cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
+                      bf16_lstm_gates=gates)
     tcfg = TrainConfig(batch_size=B)
     params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                  n_obj_names=cfg.num_obj_classes,
                                  n_pred_names=cfg.num_rel_classes)
     optimizer = build_optimizer(tcfg)
     ts = init_train_state(params, mstate, optimizer)
-    step = make_train_step(cfg, tcfg, optimizer)
+    step = make_train_step(cfg, tcfg, optimizer, ss_active=ss_active)
 
     S = B * 5
     batch = synthetic_train_batch(cfg, B)
@@ -80,33 +94,29 @@ def _bench_train():
     # decode-scan FLOPs dominate; fwd ~1x + bwd ~2x (see docs/PERF.md)
     flops_step = 3 * S * (cfg.seq_length + 1) * decode_flops_per_row(cfg)
     tflops = flops_step * n_steps / wall / 1e12
-    print(json.dumps({
-        "metric": f"train images/sec/chip (batch {B}, fwd+bwd+adam, {dtype})",
+    dt_tag = dtype + ("+bf16gates" if gates else "") + \
+        ("" if ss_active else ", ss-hoisted")
+    return {
+        "metric": f"train images/sec/chip (batch {B}, fwd+bwd+adam, "
+                  f"{dt_tag})",
         "value": round(img_s, 2),
         "unit": "images/sec",
         "step_ms": round(wall / n_steps * 1e3, 2),
         "vs_baseline": None,
         "model_tflops_per_sec": round(tflops, 3),
         "mfu_pct_of_bf16_peak": round(100 * tflops * 1e12 / 197e12, 2),
-    }))
+    }
 
 
-def main():
+def _bench_infer(preset):
     import jax
     import jax.numpy as jnp
-
-    from subgc_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
 
     from subgc_tpu.config import EvalConfig, ModelConfig
     from subgc_tpu.eval.runner import make_batched_infer_fn
     from subgc_tpu.graph import SceneGraph, SubgraphSet
     from subgc_tpu.models.params import init_params
 
-    preset = os.environ.get("BENCH_PRESET", "kar")
-    if preset == "train":
-        _bench_train()
-        return
     if preset == "mrnn":
         # Sub_GC_MRNN: beam 1, NMS .55, up to 1000 decodes/image (test.sh:13)
         defaults = dict(images="64", bucket="1024", beam="1", batch="4",
@@ -229,7 +239,7 @@ def main():
         pass
 
     dt_tag = dtype + ("+bf16gates" if cfg.bf16_lstm_gates else "")
-    print(json.dumps({
+    return {
         "metric": f"captions/sec/chip ({preset} preset: beam={beam}, "
                   f"bucket={bucket}, NMS keep {defaults['keep']}, {dt_tag})",
         "value": round(cps, 2),
@@ -242,7 +252,35 @@ def main():
         "vs_baseline": round(vs_gpu_est, 2) if vs_gpu_est is not None else None,
         "model_tflops_per_sec": round(tflops, 3) if tflops else None,
         "mfu_pct_of_bf16_peak": round(mfu, 2) if mfu else None,
-    }))
+    }
+
+
+def _run_preset(preset):
+    return _bench_train() if preset == "train" else _bench_infer(preset)
+
+
+def main():
+    from subgc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    preset = os.environ.get("BENCH_PRESET")
+    if preset:
+        presets = [preset]
+    else:
+        # bare run: all three headline workloads, kar (the BASELINE.json
+        # metric) leading so its fields sit at top level of the one line
+        presets = ["kar", "mrnn", "train"]
+    records = []
+    for p in presets:
+        rec = dict(_run_preset(p))
+        rec["preset"] = p
+        records.append(rec)
+        # progress breadcrumb on stderr so a slow bare run is observable
+        # without polluting the single-JSON-line stdout contract
+        print(f"[bench] {p}: {rec['value']} {rec['unit']}", file=sys.stderr)
+    out = dict(records[0])
+    out["records"] = records
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
