@@ -30,7 +30,11 @@ The corpus generator reuses the caption grammar + perturbation model of
 tools/gen_metric_validation.py, with punctuation/contraction noise added so
 the tokenizers actually diverge (clean model captions are the identity for
 both).  tests/test_metric_bounds.py pins the envelopes at the 250-image
-scale; run --images 1000 for the drill-scale numbers in METRICS.md.
+scale; `docs/metric_bounds_1000.json` is the committed drill-scale artifact
+(`--images 1000 --real_corpus /tmp/bf16_prod`), which additionally bounds
+the axes on REAL decoded captions (--real_corpus: a production-dim f32
+Sub_GC_Kar model trained on the drill dataset; its beam-2 test decodes are
+the hypotheses, reported raw and English-surfaced).
 """
 from __future__ import annotations
 
@@ -131,6 +135,105 @@ def build_corpus(n_images: int, n_ranks: int, seed: int = 2020,
                         else shape(_perturb(base, 1 + k, r), r))
         preds.append({"image_id": i, "caption": caps})
     return gts, preds
+
+
+# ----------------------------------------------------- real decoded corpus
+def _english_vocab(vocab):
+    """Surface synthetic 'w<i>' vocab entries as deterministic English-shaped
+    words (base noun/verb + morphological suffix) so METEOR's stemmer and
+    SPICE's POS machinery run in their real regime; the curated English head
+    of the synthetic vocab passes through unchanged.  Distinct ids may
+    collide onto one surface form — harmless for an A-vs-B implementation
+    bound, since both scorer variants read the identical text."""
+    bases = NOUNS + VERBS
+    sufs = ("", "s", "ing", "ed", "er")
+    out = {}
+    for k, w in vocab.items():
+        if len(w) > 1 and w[0] == "w" and w[1:].isdigit():
+            i = int(w[1:])
+            out[k] = bases[i % len(bases)] + sufs[(i // len(bases)) % len(sufs)]
+        else:
+            out[k] = w
+    return out
+
+
+def build_real_corpus(root: str, n_ranks: int, train_iters: int = 400,
+                      images: int = 1000, english: bool = False):
+    """(gts, preds, stats) where the hypotheses are ACTUAL beam-2 captions
+    decoded by a production-dim float32-trained Sub_GC_Kar model — the
+    well-formed regime the scorers deploy in (VERDICT r4 item 1), vs the
+    perturbation-garbled template corpora of build_corpus.
+
+    Layout under ``root`` matches tools/bf16_bound_prod.py (d/ dataset,
+    run_kar_f32/ checkpoint); both are built on first use and reused after,
+    so the bf16-bound corpus and this one stay the same artifacts.
+    english=True renders the same token ids through _english_vocab."""
+    import jax
+    import jax.numpy as jnp
+
+    from subgc_tpu.cli import train as train_cli
+    from subgc_tpu.config import DataConfig, build_configs
+    from subgc_tpu.data.dataset import EvalLoader
+    from subgc_tpu.data.synthetic import generate_dataset
+    from subgc_tpu.eval.runner import run_test_split
+    from subgc_tpu.train import checkpoint as C
+    from subgc_tpu.utils.text import decode_sequence
+    from tools.bf16_bound_prod import _manifest
+
+    root = os.path.abspath(root)
+    os.makedirs(root, exist_ok=True)
+    droot = os.path.join(root, "d")
+    man = _manifest(droot) if os.path.exists(droot) else generate_dataset(
+        droot, n_images=images, vocab_size=9487, n_obj_classes=1599,
+        n_rel_classes=21, max_obj=36, min_obj=36, max_rel=64, n_subgraphs=16,
+        feat_dim=2048, seed=7, learnable=True)
+    data_flags = ["--input_json", man["input_json"],
+                  "--input_label_h5", man["input_label_h5"],
+                  "--sg_dir", man["sg_dir"], "--mask_dir", man["mask_dir"],
+                  "--obj_name_path", man["obj_name_path"],
+                  "--rel_name_path", man["rel_name_path"]]
+    ckpt = os.path.join(root, "run_kar_f32")
+    if not os.path.exists(os.path.join(ckpt, "model.npz")):
+        train_cli.main(["Sub_GC_Kar", "--checkpoint_path", ckpt,
+                        "--batch_size", "16",
+                        "--max_iters", str(train_iters),
+                        "--save_checkpoint_every", str(train_iters),
+                        "--val_images_use", "8",
+                        "--compute_dtype", "float32"] + data_flags)
+
+    blob = C.load_pytree_npz(os.path.join(ckpt, "model.npz"))
+    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
+    mcfg, ecfg, _ = build_configs("Sub_GC_Kar", mode="test")
+    mcfg = mcfg.replace(compute_dtype="float32")
+    dcfg = DataConfig(input_json=man["input_json"],
+                      input_label_h5=man["input_label_h5"],
+                      sg_dir=man["sg_dir"], mask_dir=man["mask_dir"])
+    loader = EvalLoader(mcfg, dcfg, bucket=64)
+    mcfg = mcfg.replace(vocab_size=loader.vocab_size,
+                        seq_length=loader.seq_length)
+    vocab = _english_vocab(loader.vocab) if english else loader.vocab
+    preds, wall, n_caps = run_test_split(
+        params, state, loader, mcfg, ecfg, vocab, verbose=False,
+        batch_images=16)
+    gts = {}
+    for pos in range(len(loader.split_ix["test"])):
+        ix = loader.split_ix["test"][pos]
+        gts[loader.ds.images[ix]["id"]] = decode_sequence(
+            vocab, loader.ds.captions_for(ix), remove_bad_endings=False)
+
+    curated = set(w for w in vocab.values()
+                  if not (len(w) > 1 and w[0] == "w" and w[1:].isdigit()))
+    toks = [t for p in preds for t in p["caption"][0].split()]
+    stats = {"n_test_images": len(preds),
+             "decode_s": round(wall, 2), "n_captions": int(n_caps),
+             "mean_top1_len": round(float(np.mean(
+                 [len(p["caption"][0].split()) for p in preds])), 2),
+             "top1_token_english_frac": round(
+                 float(np.mean([t in curated for t in toks])), 4)
+             if toks else None,
+             "english_surfaced": english}
+    return gts, preds, stats
 
 
 # ---------------------------------------------------------------- oracles
@@ -272,6 +375,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=2020)
     ap.add_argument("--out", default="docs/metric_bounds.json")
     ap.add_argument("--skip-rerank", action="store_true")
+    ap.add_argument("--real_corpus", default=None, metavar="DIR",
+                    help="also bound the axes on REAL decoded captions: a "
+                         "production-dim f32 Sub_GC_Kar model is trained "
+                         "(or reused) under DIR (tools/bf16_bound_prod.py "
+                         "layout) and its beam-2 test-split decodes become "
+                         "the hypotheses (raw + English-surfaced renderings)")
+    # 2000 = the converged point of the round-4 production-dim drill
+    # (docs/bf16_bound_prod.json config); shorter runs decode near-empty
+    # captions, which would make the real-corpus bound vacuous
+    ap.add_argument("--real_train_iters", type=int, default=2000)
     args = ap.parse_args(argv)
 
     gts, preds = build_corpus(args.images, args.ranks, args.seed)
@@ -303,6 +416,29 @@ def main(argv=None):
                             spice_fn=oracle_spice_fn)
     report["spice"] = {"SPICE": compare(base, spi, args.ranks)["SPICE"]}
 
+    if args.real_corpus:
+        for english in (False, True):
+            tag = "real_decoded_english" if english else "real_decoded"
+            print(f"== {tag}: axes on actual f32 beam-2 model output ==")
+            gts_r, preds_r, stats = build_real_corpus(
+                args.real_corpus, args.ranks,
+                train_iters=args.real_train_iters, english=english)
+            base_r = run_language_eval(gts_r, preds_r, args.ranks)
+            tok_r = run_language_eval(gts_r, preds_r, args.ranks,
+                                      tokenize_fn=nltk_tokenize_fn)
+            met_r = run_language_eval(gts_r, preds_r, args.ranks,
+                                      meteor_fn=matched_meteor_fn)
+            spi_r = run_language_eval(gts_r, preds_r, args.ranks,
+                                      spice_fn=oracle_spice_fn)
+            report[tag] = {
+                "corpus": stats,
+                "tokenizer": compare(base_r, tok_r, args.ranks),
+                "meteor": {"METEOR":
+                           compare(base_r, met_r, args.ranks)["METEOR"]},
+                "spice": {"SPICE":
+                          compare(base_r, spi_r, args.ranks)["SPICE"]},
+            }
+
     if not args.skip_rerank:
         print("== rerank axis (tokenizer swap in the df corpus) ==")
         ra = run_rerank(gts, preds)
@@ -323,6 +459,14 @@ def main(argv=None):
             print(f"| {axis} | {m} | {row['top1_delta']:.4f} | "
                   f"{row.get('oracle_delta', 0):.4f} | "
                   f"{row.get('pick_flip_rate', 0) * 100:.1f}% |")
+    for tag in ("real_decoded", "real_decoded_english"):
+        if tag not in report:
+            continue
+        for axis in ("tokenizer", "meteor", "spice"):
+            for m, row in report[tag][axis].items():
+                print(f"| {tag}/{axis} | {m} | {row['top1_delta']:.4f} | "
+                      f"{row.get('oracle_delta', 0):.4f} | "
+                      f"{row.get('pick_flip_rate', 0) * 100:.1f}% |")
     if "rerank_top1_flip_rate" in report:
         print(f"| tokenizer | rerank top-1 | — | — | "
               f"{report['rerank_top1_flip_rate'] * 100:.1f}% |")
