@@ -16,6 +16,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -113,19 +115,108 @@ def torch_state_dict_to_params(sd: Dict[str, np.ndarray], cfg) -> Tuple[dict, di
     return params, state
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("ckpt")
-    ap.add_argument("out")
-    ap.add_argument("--full-gc", action="store_true")
-    ap.add_argument("--use-gt-subg", action="store_true")
-    ap.add_argument("--vocab-size", type=int, default=9487)
-    args = ap.parse_args()
+# reference opt attribute -> ModelConfig field (identity unless renamed);
+# only fields ModelConfig owns are copied, the rest of the namespace is
+# train/eval config and data paths
+_OPT_TO_MCFG = ("vocab_size", "seq_length", "input_encoding_size",
+                "rnn_size", "num_layers", "att_hid_size", "fc_feat_size",
+                "att_feat_size", "drop_prob_lm", "use_bn", "embed_dim",
+                "gcn_dim", "gcn_layers", "gcn_residual", "gcn_bn",
+                "noun_fuse", "pred_emb_type", "use_gpn", "use_gt_subg",
+                "obj_num", "rel_num")
+
+
+def config_from_ref_infos(infos) -> "object":
+    """Build a ModelConfig from a reference infos pickle's opt namespace
+    (`test.py:173-196` treats infos['opt'] as the source of truth; the same
+    convention applies when importing a reference checkpoint here).
+    Missing attributes keep ModelConfig defaults; int-ish reference flags
+    (noun_fuse/gcn_bn as 0/1) are coerced to the dataclass field types."""
+    from subgc_tpu.config import ModelConfig
+    opt = infos.get("opt")
+    kw = {}
+    for f in _OPT_TO_MCFG:
+        if opt is not None and hasattr(opt, f):
+            v = getattr(opt, f)
+            cur = getattr(ModelConfig, f)
+            if isinstance(cur, bool):
+                v = bool(v)
+            kw[f] = v
+    if "vocab_size" not in kw and infos.get("vocab"):
+        kw["vocab_size"] = len(infos["vocab"])
+    return ModelConfig(**kw)
+
+
+def convert_to_checkpoint_dir(pth: str, infos_pkl: str, out_dir: str,
+                              model_type: str = None) -> None:
+    """The docs/REALDATA.md step-1 path: reference model-*.pth +
+    infos_*.pkl -> a subgc_tpu checkpoint DIR (model.npz + infos.json)
+    that cli/test.py, cli/serve.py and train --start_from consume
+    directly."""
+    import pickle
+    import re
 
     import torch
 
-    import sys, os
+    from subgc_tpu.config import config_to_json
+    from subgc_tpu.train.checkpoint import save_pytree_npz
+
+    with open(infos_pkl, "rb") as f:
+        infos_ref = pickle.load(f, encoding="latin1")
+    cfg = config_from_ref_infos(infos_ref)
+    sd_t = torch.load(pth, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd_t.items()}
+    params, state = torch_state_dict_to_params(sd, cfg)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_pytree_npz(os.path.join(out_dir, "model.npz"),
+                    {"params": params, "state": state})
+    m = re.search(r"model-(\d+)", os.path.basename(pth))
+    infos = {
+        "model_config": config_to_json(cfg),
+        "model_type": model_type or getattr(
+            infos_ref.get("opt"), "id", "Sub_GC_Kar"),
+        "vocab": {str(k): v for k, v in infos_ref.get("vocab", {}).items()},
+        "iter": infos_ref.get("iter", int(m.group(1)) if m else 0),
+        "epoch": infos_ref.get("epoch", 0),
+        "converted_from": os.path.abspath(pth),
+    }
+    with open(os.path.join(out_dir, "infos.json"), "w") as f:
+        json.dump(infos, f)
+    print(f"wrote {out_dir}/model.npz + infos.json "
+          f"(iter {infos['iter']}, vocab {len(infos['vocab'])})")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    # dir form (docs/REALDATA.md): --pth model-60000.pth --infos infos.pkl
+    # --out logs/name .  Legacy npz form: positional ckpt out.
+    ap.add_argument("ckpt", nargs="?")
+    ap.add_argument("out_npz", nargs="?")
+    ap.add_argument("--pth")
+    ap.add_argument("--infos")
+    ap.add_argument("--out")
+    ap.add_argument("--model_type", default=None)
+    ap.add_argument("--full-gc", action="store_true")
+    ap.add_argument("--use-gt-subg", action="store_true")
+    ap.add_argument("--vocab-size", type=int, default=9487)
+    args = ap.parse_args(argv)
+
+    import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    if args.pth:
+        if not (args.infos and args.out):
+            raise SystemExit("--pth requires --infos and --out DIR")
+        convert_to_checkpoint_dir(args.pth, args.infos, args.out,
+                                  model_type=args.model_type)
+        return
+    if not (args.ckpt and args.out_npz):
+        raise SystemExit("usage: convert_torch_ckpt.py CKPT OUT.npz "
+                         "[--full-gc] | --pth P --infos I --out DIR")
+
+    import torch
+
     from subgc_tpu.config import ModelConfig
 
     if args.full_gc:
@@ -141,8 +232,8 @@ def main():
     params, state = torch_state_dict_to_params(sd, cfg)
 
     from subgc_tpu.train.checkpoint import save_pytree_npz
-    save_pytree_npz(args.out, {"params": params, "state": state})
-    print(f"wrote {args.out}")
+    save_pytree_npz(args.out_npz, {"params": params, "state": state})
+    print(f"wrote {args.out_npz}")
 
 
 if __name__ == "__main__":
