@@ -56,16 +56,18 @@ def _bench_train():
     from subgc_tpu.utils.profiling import decode_flops_per_row
     enable_compilation_cache()
 
-    # headline config (docs/PERF.md round 4): batch 256, bf16 compute +
-    # bf16 gate streams, ss-inactive (hoisted input projections) = 2,020
-    # img/s.  Each knob has an env override for A/B runs.
+    # headline config (docs/PERF.md round 5): batch 256, bf16 compute +
+    # bf16 gate streams + bf16 backward residuals, ss-inactive (hoisted
+    # input projections) = 2,051 img/s.  Each knob has an env override
+    # for A/B runs.
     B = int(os.environ.get("BENCH_BATCH", "256"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     gates = os.environ.get("BENCH_GATES",
                            "1" if dtype == "bfloat16" else "0") == "1"
+    resid = os.environ.get("BENCH_RESID", "1") == "1"
     ss_active = os.environ.get("BENCH_SS", "0") == "1"
     cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
-                      bf16_lstm_gates=gates)
+                      bf16_lstm_gates=gates, bf16_residuals=resid)
     tcfg = TrainConfig(batch_size=B)
     params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                  n_obj_names=cfg.num_obj_classes,
@@ -95,6 +97,7 @@ def _bench_train():
     flops_step = 3 * S * (cfg.seq_length + 1) * decode_flops_per_row(cfg)
     tflops = flops_step * n_steps / wall / 1e12
     dt_tag = dtype + ("+bf16gates" if gates else "") + \
+        ("+bf16resid" if resid else "") + \
         ("" if ss_active else ", ss-hoisted")
     return {
         "metric": f"train images/sec/chip (batch {B}, fwd+bwd+adam, "

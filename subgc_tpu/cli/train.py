@@ -65,6 +65,11 @@ def parse_args(argv=None):
                    help="with bfloat16: run the [S,4R] LSTM gate streams in "
                         "bf16 too (c stays f32) — measured +1-3%% step "
                         "throughput, looser numerics (docs/PERF.md)")
+    p.add_argument("--bf16_residuals", type=int, default=None,
+                   help="store the decode scan's saved-for-backward LSTM "
+                        "residuals in bf16 (forward numerics unchanged, "
+                        "gradient rounding bounded in "
+                        "tests/test_bf16_residuals.py; docs/PERF.md)")
     # model-architecture overrides (the reference exposes these on opts.py;
     # presets remain the defaults)
     p.add_argument("--use_bn", type=int, default=None, choices=[0, 1, 2],
@@ -114,6 +119,8 @@ def main(argv=None):
         overrides["model"]["compute_dtype"] = args.compute_dtype
     if args.bf16_lstm_gates is not None:
         overrides["model"]["bf16_lstm_gates"] = bool(args.bf16_lstm_gates)
+    if args.bf16_residuals is not None:
+        overrides["model"]["bf16_residuals"] = bool(args.bf16_residuals)
     for k in ["use_bn", "gcn_layers", "gcn_residual", "gcn_dim", "rnn_size",
               "att_hid_size", "input_encoding_size", "pred_emb_type",
               "drop_prob_lm"]:

@@ -59,6 +59,14 @@ class ModelConfig:
     # meaningful with compute_dtype="bfloat16"; measured trade-off in
     # docs/PERF.md (the decode LSTMs are bound by these streams, not MXU)
     bf16_lstm_gates: bool = False
+    # training only: keep FORWARD compute exactly as configured but store the
+    # decode scan's saved-for-backward LSTM residuals (gate preactivations,
+    # c streams) in bfloat16 and recompute the elementwise derivatives from
+    # them in the backward pass — halves the batch-proportional residual
+    # bytes the train-step roofline identified as the limiter without the
+    # bf16_lstm_gates forward-numerics trade (docs/PERF.md; bounded in
+    # tests/test_bf16_residuals.py)
+    bf16_residuals: bool = False
     # fused Pallas attention kernel in the decoder (ops/pallas_attention.py)
     use_pallas_attention: bool = False
     # inference decode optimizations (both exact transformations):

@@ -14,6 +14,7 @@ Semantics preserved exactly:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -156,6 +157,59 @@ def _lstm_nonlin(g, c, dt, bf16_gates=False):
     return h2, c2
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lstm_nonlin_b16r(g, c, dt, bf16_gates=False):
+    """:func:`_lstm_nonlin` with bf16 BACKWARD residuals (cfg.bf16_residuals).
+
+    Forward is bit-identical to ``_lstm_nonlin`` (it IS that function); only
+    what the backward pass saves changes: instead of autodiff's five f32
+    activation streams per cell (i, f, o, tanh(g), tanh(c2) ~= 24R bytes/row)
+    it stores (g, c, c2) rounded to bf16 (12R bytes/row) and recomputes the
+    cheap elementwise derivatives from them.  This halves exactly the
+    batch-proportional [S, 4R] saved-for-backward traffic the train-step
+    roofline identified as the limiter (docs/PERF.md), without touching
+    forward numerics — the accuracy cost is bf16 rounding of the *gradient*
+    only, bounded in tests/test_bf16_residuals.py.  Reference hot loop:
+    AttModel.py:157-175."""
+    return _lstm_nonlin(g, c, dt, bf16_gates)
+
+
+def _lstm_nonlin_b16r_fwd(g, c, dt, bf16_gates):
+    h2, c2 = _lstm_nonlin(g, c, dt, bf16_gates)
+    res = (g.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+           c2.astype(jnp.bfloat16))
+    return (h2, c2), res
+
+
+def _lstm_nonlin_b16r_bwd(dt, bf16_gates, res, ct):
+    g16, c16, c216 = res
+    dh2, dc2 = ct
+    g = g16.astype(jnp.float32)
+    c = c16.astype(jnp.float32)
+    c2 = c216.astype(jnp.float32)
+    dh2 = dh2.astype(jnp.float32)
+    dc2 = dc2.astype(jnp.float32)
+    gi, gf, gg_, go = jnp.split(g, 4, axis=-1)
+    i = jax.nn.sigmoid(gi)
+    f = jax.nn.sigmoid(gf)
+    o = jax.nn.sigmoid(go)
+    gg = jnp.tanh(gg_)
+    tc2 = jnp.tanh(c2)
+    do = dh2 * tc2
+    dc = dc2 + dh2 * o * (1.0 - tc2 * tc2)
+    dg = jnp.concatenate([
+        dc * gg * (i * (1.0 - i)),          # d/d gi
+        dc * c * (f * (1.0 - f)),           # d/d gf
+        dc * i * (1.0 - gg * gg),           # d/d gg
+        do * (o * (1.0 - o)),               # d/d go
+    ], axis=-1)
+    g_dt = dt if (bf16_gates and dt != jnp.float32) else jnp.float32
+    return dg.astype(g_dt), dc * f
+
+
+_lstm_nonlin_b16r.defvjp(_lstm_nonlin_b16r_fwd, _lstm_nonlin_b16r_bwd)
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0 or rng is None:
         return x
@@ -168,7 +222,7 @@ def _lstm_cell(p, x, h, c, dt):
     return _lstm_cell_gx(p, gx, h, c, dt)
 
 
-def _lstm_cell_gx(p, gx, h, c, dt, bf16_gates=False):
+def _lstm_cell_gx(p, gx, h, c, dt, bf16_gates=False, bf16_resid=False):
     """LSTM cell with the input-side gates (x @ w_ih + b_ih) precomputed.
 
     Default: gate math and c stay f32; the returned h is cast to the compute
@@ -177,28 +231,17 @@ def _lstm_cell_gx(p, gx, h, c, dt, bf16_gates=False):
 
     bf16_gates=True (cfg.bf16_lstm_gates): the [S, 4R] gate streams and the
     sigmoid/tanh run in bf16 — halves the dominant LSTM bytes — while c and
-    its update stay f32.  gx must already be in dt."""
+    its update stay f32.  gx must already be in dt.
+
+    bf16_resid=True (cfg.bf16_residuals, training): identical forward, but
+    the backward pass reads bf16-rounded (g, c, c2) residuals instead of the
+    f32 activation streams (see :func:`_lstm_nonlin_b16r`)."""
     if bf16_gates and dt != jnp.float32:
         g = gx + _matmul(h, p["w_hh"], dt, keep=True) + p["b_hh"].astype(dt)
-        i, f, gg, o = jnp.split(g, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        o = jax.nn.sigmoid(o)
-        gg = jnp.tanh(gg)
-        c2 = f.astype(jnp.float32) * c + (i * gg).astype(jnp.float32)
-        h2 = (o.astype(jnp.float32) * jnp.tanh(c2)).astype(dt)
-        return h2, c2
-    g = gx + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
-    i, f, gg, o = jnp.split(g, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    o = jax.nn.sigmoid(o)
-    gg = jnp.tanh(gg)
-    c2 = f * c + i * gg
-    h2 = o * jnp.tanh(c2)
-    if dt != jnp.float32:
-        h2 = h2.astype(dt)
-    return h2, c2
+    else:
+        g = gx + _dense(h, {"w": p["w_hh"], "b": p["b_hh"]}, dt)
+    nonlin = _lstm_nonlin_b16r if bf16_resid else _lstm_nonlin
+    return nonlin(g, c, dt, bf16_gates)
 
 
 def att_embed(params, att_feats, att_mask, cfg: ModelConfig,
@@ -481,6 +524,8 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
     the output-dropout draws match the unhoisted path."""
     dec = params["decoder"]
     dt = cfg.cdtype
+    b16r = cfg.bf16_residuals and train
+    nonlin = _lstm_nonlin_b16r if b16r else _lstm_nonlin
     r_emb, r_out = (jax.random.split(rng) if rng is not None else (None, None))
 
     # att-LSTM input [h_lang, fc, xt] as split matmuls: fc's contribution is
@@ -506,7 +551,7 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
             b_att = b_att.astype(dt)
         g_att = (_matmul(x_cat, dec["att_lstm"]["w_cat"], dt, keep=bf16g)
                  + fc_ih + b_att)
-        h_att, c_att = _lstm_nonlin(g_att, state.c_att, dt, bf16g)
+        h_att, c_att = nonlin(g_att, state.c_att, dt, bf16g)
     else:
         if xt_ih is not None:
             pass                      # hoisted by forward_teacher
@@ -520,7 +565,7 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
         gx_att = (_matmul(state.h_lang, w_ih[:R1], dt, keep=bf16g) + fc_ih
                   + xt_ih + b_ih_a)
         h_att, c_att = _lstm_cell_gx(dec["att_lstm"], gx_att, state.h_att,
-                                     state.c_att, dt, bf16g)
+                                     state.c_att, dt, bf16g, b16r)
 
     att_res, att_w = attention(params, h_att, feats, cfg)
 
@@ -532,7 +577,7 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
             b_lang = b_lang.astype(dt)
         g_lang = (_matmul(x_cat_l, dec["lang_lstm"]["w_cat"], dt, keep=bf16g)
                   + b_lang)
-        h_lang, c_lang = _lstm_nonlin(g_lang, state.c_lang, dt, bf16g)
+        h_lang, c_lang = nonlin(g_lang, state.c_lang, dt, bf16g)
     else:
         # lang-LSTM input [att_res, h_att] as split matmuls (no concat
         # materialization; h_att stays in its storage dtype)
@@ -544,7 +589,7 @@ def decode_step(params, state: DecoderState, token, feats: PreparedFeatures,
                    + _matmul(h_att, w_ih_l[cfg.rnn_size:], dt, keep=bf16g)
                    + b_ih_l)
         h_lang, c_lang = _lstm_cell_gx(dec["lang_lstm"], gx_lang, state.h_lang,
-                                       state.c_lang, dt, bf16g)
+                                       state.c_lang, dt, bf16g, b16r)
     out = _dropout(h_lang, cfg.drop_prob_lm, r_out, train)
     logits = _dense(out, dec["logit"], dt)
     logprobs = jax.nn.log_softmax(logits, axis=-1)

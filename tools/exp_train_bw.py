@@ -12,6 +12,12 @@ backward pass (docs/PERF.md).  Two candidate levers, measured here:
      (trades MXU FLOPs, which the step has spare, for HBM traffic)
   A+B combined.
 
+Round 5 adds lever C (VERDICT r4 item 4): cfg.bf16_residuals — forward
+numerics untouched, but the scan's saved-for-backward LSTM residuals are
+stored in bf16 and the elementwise derivatives recomputed from them
+(models/decoder.py::_lstm_nonlin_b16r).  SUBGC_EXP_RESID=1 sweeps
+{baseline, resid, gates, gates+resid} instead of the round-3 remat grid.
+
 Usage: python tools/exp_train_bw.py [batch ...]   (default: 64 256)
 """
 import os
@@ -70,19 +76,20 @@ def main():
         _, lps = jax.lax.scan(jax.checkpoint(step), init, xs)
         return lps.transpose(1, 0, 2)
 
-    def measure(B, gates, remat, n_steps=15):
+    def measure(B, gates, remat, resid=False, n_steps=15,
+                dtype="bfloat16", ss_active=True):
         D.forward_teacher = remat_forward_teacher if remat \
             else orig_forward_teacher
         try:
-            cfg = ModelConfig(vocab_size=9487, compute_dtype="bfloat16",
-                              bf16_lstm_gates=gates)
+            cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
+                              bf16_lstm_gates=gates, bf16_residuals=resid)
             tcfg = TrainConfig(batch_size=B)
             params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                          n_obj_names=cfg.num_obj_classes,
                                          n_pred_names=cfg.num_rel_classes)
             optimizer = build_optimizer(tcfg)
             ts = init_train_state(params, mstate, optimizer)
-            step = make_train_step(cfg, tcfg, optimizer)
+            step = make_train_step(cfg, tcfg, optimizer, ss_active=ss_active)
             batch = synthetic_train_batch(cfg, B)
             key = jax.random.PRNGKey(2)
             z = jnp.zeros((), jnp.int32), jnp.zeros(())
@@ -94,16 +101,30 @@ def main():
                 ts, m = step(ts, batch, key, *z)
             jax.block_until_ready(m["loss"])
             dt = (time.time() - t0) / n_steps
-            print(f"batch {B:4d} gates={int(gates)} remat={int(remat)}: "
+            print(f"batch {B:4d} {dtype[:4]} ss={int(ss_active)} "
+                  f"gates={int(gates)} remat={int(remat)} "
+                  f"resid={int(resid)}: "
                   f"{dt*1e3:7.2f} ms/step = {B/dt:7.1f} img/s "
                   f"(loss {loss:.3f})", flush=True)
         finally:
             D.forward_teacher = orig_forward_teacher
 
-    for B in batches:
-        for gates, remat in [(False, False), (True, False), (False, True),
-                             (True, True)]:
-            measure(B, gates, remat)
+    if os.environ.get("SUBGC_EXP_RESID"):
+        # lever C grid: the hoisted (ss_active=False) headline path, bf16
+        # base {baseline, resid, gates, gates+resid} + the f32 parity
+        # default {baseline, resid}
+        for B in batches:
+            for gates, resid in [(False, False), (False, True),
+                                 (True, False), (True, True)]:
+                measure(B, gates, False, resid, ss_active=False)
+            for resid in [False, True]:
+                measure(B, False, False, resid, dtype="float32",
+                        ss_active=False)
+    else:
+        for B in batches:
+            for gates, remat in [(False, False), (True, False),
+                                 (False, True), (True, True)]:
+                measure(B, gates, remat)
 
 
 if __name__ == "__main__":
