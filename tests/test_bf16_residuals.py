@@ -147,6 +147,53 @@ def test_train_forward_bitwise_and_grad_delta(dtype):
     assert num / den < 0.02, num / den
 
 
+@pytest.mark.parametrize("dtype,gates", [("float32", False),
+                                         ("bfloat16", True)])
+def test_sharded_matches_single_under_flag(dtype, gates):
+    """The custom-VJP backward must be mesh-safe: an 8-device data-parallel
+    step with bf16_residuals (and the full production perf config,
+    bf16 compute + gates + residuals) updates params identically to the
+    single-device step — the same pin test_train.py gives the default
+    backward."""
+    from subgc_tpu.config import TrainConfig
+    from subgc_tpu.data.synthetic import synthetic_train_batch
+    from subgc_tpu.parallel import mesh as M
+    from subgc_tpu.train.optim import build_optimizer
+    from subgc_tpu.train.step import init_train_state, make_train_step
+
+    cfg = _tiny_cfg(compute_dtype=dtype, bf16_lstm_gates=gates,
+                    bf16_residuals=True)
+    tcfg = TrainConfig(batch_size=8)
+    params, mstate = init_params(jax.random.PRNGKey(0), cfg,
+                                 n_obj_names=cfg.num_obj_classes,
+                                 n_pred_names=cfg.num_rel_classes)
+    optimizer = build_optimizer(tcfg)
+    step = make_train_step(cfg, tcfg, optimizer, ss_active=False)
+    batch = synthetic_train_batch(cfg, 8, seed=11)
+    rng = jax.random.PRNGKey(2)
+    z = jnp.zeros((), jnp.int32), jnp.zeros(())
+
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    ts1 = init_train_state(copy(params), copy(mstate), optimizer)
+    ts1, m1 = step(ts1, jax.tree_util.tree_map(jnp.asarray, batch),
+                   rng, *z)
+
+    mesh = M.make_mesh()
+    assert mesh.devices.size == 8
+    sharded = M.shard_leading_axis(mesh, batch)
+    ts2 = init_train_state(M.replicate(mesh, params),
+                           M.replicate(mesh, mstate), optimizer)
+    ts2, m2 = step(ts2, sharded, rng, *z)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_train_step_learns_under_flag():
     from subgc_tpu.config import TrainConfig
     from subgc_tpu.data.synthetic import synthetic_train_batch
