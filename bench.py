@@ -273,6 +273,18 @@ def main():
         # bare run: all three headline workloads, kar (the BASELINE.json
         # metric) leading so its fields sit at top level of the one line
         presets = ["kar", "mrnn", "train"]
+        # the per-preset tuning knobs are single-preset A/B levers; in a
+        # bare (headline) run they would apply to all three presets at
+        # once — e.g. BENCH_BATCH=256 meant for train pushes kar past its
+        # documented HBM cliff — so drop them with a notice
+        dropped = [k for k in ("BENCH_BATCH", "BENCH_BUCKET", "BENCH_BEAM",
+                               "BENCH_IMAGES", "BENCH_DTYPE", "BENCH_GATES",
+                               "BENCH_RESID", "BENCH_SS")
+                   if os.environ.pop(k, None) is not None]
+        if dropped:
+            print(f"[bench] bare run measures the documented headline "
+                  f"configs; ignoring {', '.join(dropped)} (set "
+                  f"BENCH_PRESET to tune one preset)", file=sys.stderr)
     records = []
     for p in presets:
         rec = dict(_run_preset(p))

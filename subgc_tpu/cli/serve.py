@@ -533,10 +533,19 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(blob)
             return
-        except Exception as e:
+        except (ValueError, KeyError, TypeError,
+                json.JSONDecodeError) as e:
             # load-bearing request validation: every 400 above routes
-            # through here (exercised by test_serve bad-request cases)
+            # through here (exercised by test_serve bad-request cases);
+            # malformed image payloads surface from the service as
+            # KeyError/ValueError too
             self._reply(400, {"error": repr(e)})
+            return
+        except Exception as e:
+            # anything else is a server-side dispatch failure (device/
+            # tunnel errors), not a client fault — 4xx would tell
+            # well-behaved clients not to retry a perfectly valid request
+            self._reply(500, {"error": repr(e)})
             return
         # /caption_stream: NDJSON, one result line per image, flushed per
         # chunk as its dispatch drains — a 1000-image M-RNN request starts

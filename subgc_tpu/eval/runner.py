@@ -115,7 +115,8 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
                    ecfg: EvalConfig, vocab, split: str = "test",
                    num_images: int = -1, rng=None, verbose: bool = True,
                    collect_grounding=None, batch_images: int = 16,
-                   mesh=None, shard_axis: str = "image"):
+                   mesh=None, shard_axis: str = "image",
+                   keep_tokens: bool = False):
     """Decode the split.  Returns (predictions, wall_seconds, n_captions).
 
     collect_grounding: optional callback(example, sents, sorted_ind,
@@ -195,12 +196,18 @@ def run_test_split(params, state, loader: EvalLoader, cfg: ModelConfig,
                 order = np.arange(n)
             sents = decode_sequence(vocab, seq[order],
                                     remove_bad_endings=ecfg.remove_bad_endings)
-            predictions.append({
+            pred = {
                 "image_id": ex.info.id,
                 "caption": sents,
                 "subgraph_score": scores[order],
                 "sorted_subgraph_ind": keep_ind[order],
-            })
+            }
+            if keep_tokens:
+                # raw sGPN-ordered token ids: lets callers re-render the
+                # same decode through another vocab surface without a
+                # second TPU pass (tools/metric_bounds.py real corpus)
+                pred["tokens"] = seq[order]
+            predictions.append(pred)
             n_caps += len(sents)
             if collect_grounding is not None:
                 att = out.get("att_weights")

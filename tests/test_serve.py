@@ -498,6 +498,39 @@ def test_caption_stream_bad_request(server):
             assert e.code == 400, payload
 
 
+def test_backend_failure_is_500(server):
+    """A server-side dispatch failure (device/tunnel error) must surface
+    as 5xx, not 400 — 4xx tells well-behaved clients not to retry a
+    perfectly valid request.  Validation errors stay 400."""
+    import threading
+
+    from subgc_tpu.cli.serve import serve
+
+    def broken_service(images):
+        raise RuntimeError("device tunnel exploded")
+
+    httpd = serve(broken_service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url, cfg, _ = server
+        rng = np.random.RandomState(31)
+        img = _image(cfg, rng, 0)
+        for path in ("/caption", "/caption_stream"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                json.dumps({"images": [img]}).encode(),
+                {"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                assert False, f"expected HTTP 500 for {path}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500, (path, e.code)
+    finally:
+        httpd.shutdown()
+
+
 def test_caption_chunk_ignored(server):
     """chunk only shapes /caption_stream granularity; /caption accepts and
     ignores it — even a malformed value must not 400 a valid request."""

@@ -172,10 +172,20 @@ def convert_to_checkpoint_dir(pth: str, infos_pkl: str, out_dir: str,
     save_pytree_npz(os.path.join(out_dir, "model.npz"),
                     {"params": params, "state": state})
     m = re.search(r"model-(\d+)", os.path.basename(pth))
+    # the reference infos' opt.id is a run id ("topdown", train.sh:4), not
+    # a preset name — only trust it if it actually resolves in the preset
+    # registry, else default to Sub_GC_Kar so the converted dir loads
+    from subgc_tpu.config import TEST_PRESETS
+    ref_id = getattr(infos_ref.get("opt"), "id", None)
+    if model_type is None:
+        model_type = ref_id if ref_id in TEST_PRESETS else "Sub_GC_Kar"
+        if ref_id is not None and ref_id not in TEST_PRESETS:
+            print(f"[convert] reference opt.id {ref_id!r} is not a preset; "
+                  f"writing model_type=Sub_GC_Kar (override with "
+                  f"--model_type)")
     infos = {
         "model_config": config_to_json(cfg),
-        "model_type": model_type or getattr(
-            infos_ref.get("opt"), "id", "Sub_GC_Kar"),
+        "model_type": model_type,
         "vocab": {str(k): v for k, v in infos_ref.get("vocab", {}).items()},
         "iter": infos_ref.get("iter", int(m.group(1)) if m else 0),
         "epoch": infos_ref.get("epoch", 0),

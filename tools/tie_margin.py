@@ -28,11 +28,15 @@ within-selection ties, and final-winner ties with differing sequences.
 
 Expected: ~zero — converged logits are continuous f32 values; exact ties
 have measure zero outside engineered integer-logit cases.  Measured
-(docs/tie_margin.json): one boundary tie in 32,000 expansion steps, and
-it sits at a running sum <= -999, i.e. on a finished beam's knocked slot
-(CaptionModel.py:164) whose done entry can never win the final penalized
-ranking; zero final-winner ties.  One sentence + the numbers go to
-docs/TESTS.md.
+(docs/tie_margin.json): ONE boundary tie in 32,000 expansion steps, on a
+LIVE beam (running sum -53.4, two different words from the same parent),
+and zero final-winner ties.  Whether that one tie matters is settled by
+the counterfactual: ``--probe IMG,ROW,T`` replays the recorded event
+with the excluded candidate kept (the swap an unstable sort could make)
+and merges the verdict into the JSON artifact — measured: the winning
+caption is UNCHANGED and the row ranks 6th by sGPN (outside top-1 and
+oracle-5), so the raw order could change 0 of 200 captions
+(docs/TESTS.md).
 
 Run (TPU, ~2 min):  python tools/tie_margin.py
 """
@@ -225,6 +229,28 @@ def main(argv=None):
             "row_sgpn_rank": int((scores > scores[row]).sum()),
         }
         print(json.dumps(out, indent=2))
+        # merge the verdict into the artifact so a fresh probe run
+        # reproduces the committed docs/tie_margin.json fields
+        if os.path.exists(args.json_out):
+            doc = json.load(open(args.json_out))
+            doc["counterfactual_probe"] = {
+                "note": f"python tools/tie_margin.py --probe {args.probe} — "
+                        "replay of the recorded tie with the EXCLUDED "
+                        "candidate kept (the swap an unstable sort could "
+                        "make)",
+                "winning_caption_changes": out["winning_caption_changes"],
+                "row_is_image_top1_sgpn_pick":
+                    out["row_is_image_top1_sgpn_pick"],
+                "row_sgpn_rank": out["row_sgpn_rank"],
+            }
+            harmless = (not out["winning_caption_changes"]) \
+                and not out["row_is_image_top1_sgpn_pick"]
+            n_ties = len(doc.get("boundary_tie_values", []))
+            doc["captions_changeable_by_raw_tie_order"] = \
+                0 if (harmless and n_ties <= 1) else None
+            with open(args.json_out, "w") as f:
+                json.dump(doc, f, indent=2)
+            print(f"[tie_margin] merged probe verdict into {args.json_out}")
         return
 
     print(f"[tie_margin] {len(examples)} test images, beam {bdash}, "
@@ -307,6 +333,11 @@ def main(argv=None):
             stats["final_zero_ties_diff_seq"],
         "min_nonzero_final_margin": stats["min_final_margin"],
     }
+    if stats["tie_values"]:
+        e = stats["tie_values"][0]
+        out["counterfactual_probe"] = (
+            f"rerun with --probe {e['image_pos']},{e['row']},{e['t']} to "
+            f"append the counterfactual replay verdict for this tie")
     print(json.dumps(out, indent=2))
     with open(args.json_out, "w") as f:
         json.dump(out, f, indent=2)
