@@ -49,3 +49,16 @@ def test_run_test_split(synth, tmp_path, beam_size):
     loaded = np.load(path, allow_pickle=True).tolist()
     assert loaded[0]["image_id"] == preds[0]["image_id"]
     assert loaded[0]["caption"] == preds[0]["caption"]
+
+    # keep_tokens: the raw sGPN-ordered token ids re-render to exactly the
+    # caption strings of the same decode (tools/metric_bounds.py relies on
+    # this to score one decode through two vocab surfaces)
+    from subgc_tpu.utils.text import decode_sequence
+    preds_t, _, _ = run_test_split(params, state, loader, mcfg, ecfg,
+                                   loader.vocab, verbose=False,
+                                   keep_tokens=True)
+    assert [p["caption"] for p in preds_t] == [p["caption"] for p in preds]
+    for p in preds_t:
+        assert decode_sequence(
+            loader.vocab, p["tokens"],
+            remove_bad_endings=ecfg.remove_bad_endings) == p["caption"]
