@@ -70,6 +70,12 @@ def parse_args(argv=None):
                         "residuals in bf16 (forward numerics unchanged, "
                         "gradient rounding bounded in "
                         "tests/test_bf16_residuals.py; docs/PERF.md)")
+    p.add_argument("--share_att_train", type=int, default=None,
+                   help="teacher-forced attention over image-shared node "
+                        "streams instead of per-row gathered copies — "
+                        "seq_per_img x less attention HBM traffic in the "
+                        "train scan; float-reassociated, att-dropout masks "
+                        "shared per image (docs/PERF.md)")
     # model-architecture overrides (the reference exposes these on opts.py;
     # presets remain the defaults)
     p.add_argument("--use_bn", type=int, default=None, choices=[0, 1, 2],
@@ -121,6 +127,8 @@ def main(argv=None):
         overrides["model"]["bf16_lstm_gates"] = bool(args.bf16_lstm_gates)
     if args.bf16_residuals is not None:
         overrides["model"]["bf16_residuals"] = bool(args.bf16_residuals)
+    if args.share_att_train is not None:
+        overrides["model"]["share_att_train"] = bool(args.share_att_train)
     for k in ["use_bn", "gcn_layers", "gcn_residual", "gcn_dim", "rnn_size",
               "att_hid_size", "input_encoding_size", "pred_emb_type",
               "drop_prob_lm"]:

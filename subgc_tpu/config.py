@@ -86,6 +86,16 @@ class ModelConfig:
     # float-reassociated; auto-disabled only for attention-capture
     # (grounding / return_att) paths (docs/PERF.md)
     share_att_images: bool = True
+    # TRAINING: teacher-forced attention over the image's projected node
+    # streams (the eval fan-out's image-shared layout, attention() att_img
+    # branch) instead of per-row [S, N, *] gathered copies — cuts the scan's
+    # scan-invariant attention reads AND their backward gradient-accumulator
+    # carries by seq_per_img x.  Same float-reassociation as
+    # share_att_images, plus ONE training-noise change: att_embed dropout
+    # samples per image node instead of per gathered row (an image's
+    # seq_per_img sentences share att-dropout masks within a step).  Opt-in,
+    # default off (reference-parity training noise); measured in docs/PERF.md
+    share_att_train: bool = False
     # decode: merge each LSTM's input-side and hidden-side matmuls into one
     # concat matmul ([h_lang|xt|h_att] @ [w_ih[:R];w_ih[2R:];w_hh]) — fewer,
     # deeper-K MXU dispatches per step; requires merge_lstm_weights (the

@@ -405,6 +405,49 @@ def prepare_features_nodes(params, fc_feats, x_obj_img, obj_ind, att_mask,
                             fc_ih=fc_ih)
 
 
+def prepare_features_shared_train(params, fc_feats, x_obj, mem,
+                                  cfg: ModelConfig, train: bool = False,
+                                  rng=None) -> PreparedFeatures:
+    """Train-path prepare_features in the image-shared attention layout
+    (cfg.share_att_train).
+
+    Projects the image node features x_obj [B, N, L] ONCE per image and
+    hands attention() the [B, N, R]/[B, N, H] streams plus a per-row
+    node-set membership mask mem [S, N] — the teacher-forced scan (and its
+    backward gradient accumulators) then reads/writes image-level streams
+    instead of per-row [S, N, *] gathered copies (seq_per_img x smaller;
+    the batch-proportional limiter of the train-step roofline,
+    docs/PERF.md).  Masked-renormalized softmax over the member subset ==
+    the packed layout's (subset-stable), weighted sum hits the same rows —
+    mathematically equal, float-reassociated.  Training-noise change:
+    att_embed dropout samples per image node, shared by the image's
+    seq_per_img rows (reference samples per gathered row,
+    AttModel.py:114-119 applied post-gather).  Requires rows grouped per
+    image (labels are [B*seq_per_img] image-major — data/dataset.py).
+
+    The rng split mirrors prepare_features_bn (r1 fc-dropout, r2
+    att-dropout), so the fc path draws identical masks to the packed
+    layout.
+    """
+    dec = params["decoder"]
+    dt = cfg.cdtype
+    if cfg.use_bn:
+        raise ValueError(
+            "share_att_train is incompatible with use_bn: train-time BN "
+            "statistics cover the packed per-row layout")
+    r1, r2, _ = (jax.random.split(rng, 3) if rng is not None else (None,) * 3)
+    fc, fc_ih = _project_fc(params, fc_feats, cfg, r1, train)
+    node_mask = jnp.ones(x_obj.shape[:-1], mem.dtype)   # use_bn=0: unused
+    att_img, _ = att_embed(params, x_obj, node_mask, cfg, train, r2, None)
+    p_att_img = _dense(att_img, dec["ctx2att"], dt)
+    if dt != jnp.float32:
+        att_img = att_img.astype(dt)
+        p_att_img = p_att_img.astype(dt)
+    return PreparedFeatures(fc=fc, att=None, p_att=None, mask=mem,
+                            fc_ih=fc_ih, att_img=att_img,
+                            p_att_img=p_att_img)
+
+
 def embed_token(params, token, cfg: ModelConfig, train: bool = False, rng=None):
     dec = params["decoder"]
     xt = jax.nn.relu(dec["embed"][token])

@@ -99,7 +99,8 @@ def bce_loss(scores, targets, eps_clamp: float = 100.0, logits=None):
 
 
 def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
-                      cfg: ModelConfig, train: bool = True, rng=None):
+                      cfg: ModelConfig, train: bool = True, rng=None,
+                      return_chosen: bool = False):
     """Training branch (gpn.py:41-81).
 
     x_obj        [B, N, L]         per-image GCN node features
@@ -109,7 +110,9 @@ def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
 
     Returns (gpn_loss, scores [S,2,half], att_feats [S,N,L], fc_feats [S,2L],
     att_masks [S,N]) where the selected sub-graph per sentence is the
-    highest-scoring positive.
+    highest-scoring positive.  With return_chosen=True the chosen sub-graph's
+    node indices [S,N] are appended (share_att_train builds its node-set
+    membership over the image node axis from them).
     """
     S, two, half, N = sub_obj_ind.shape
     gathered = x_obj[img_ix[:, None, None, None], sub_obj_ind]   # [S,2,half,N,L]
@@ -132,6 +135,8 @@ def gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask, img_ix,
     att_masks = sub_att_mask[ar, 0, best]
     ro = jax.lax.stop_gradient(read_out[ar, 0, best])
     fc_feats = readout_project(params, ro)
+    if return_chosen:
+        return gpn_loss, scores, att_feats, fc_feats, att_masks, chosen_ind
     return gpn_loss, scores, att_feats, fc_feats, att_masks
 
 

@@ -44,9 +44,12 @@ def train_forward(params, state, graph: SceneGraph, labels, sub_obj_ind,
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     x_obj, x_pred, new_state = E.encode_graph(params, state, graph, cfg, train)
 
+    chosen_ind = None
     if cfg.use_gpn:
-        gpn_loss, scores, att_feats, fc_feats, att_masks = G.gpn_train_forward(
-            params, x_obj, sub_obj_ind, sub_att_mask, img_ix, cfg, train, rngs[0])
+        gpn_loss, scores, att_feats, fc_feats, att_masks, chosen_ind = \
+            G.gpn_train_forward(params, x_obj, sub_obj_ind, sub_att_mask,
+                                img_ix, cfg, train, rngs[0],
+                                return_chosen=True)
     else:
         # Full-GC: full graph per sentence, detached mean-pool read-out
         # (AttModel.py:140-149)
@@ -57,9 +60,23 @@ def train_forward(params, state, graph: SceneGraph, labels, sub_obj_ind,
         att_masks = jnp.zeros((att_feats.shape[0], cfg.obj_num),
                               jnp.float32).at[:, :cfg.obj_num - 1].set(1.0)
 
-    feats, att_bn = D.prepare_features_bn(params, fc_feats, att_feats,
-                                          att_masks, cfg, train, rngs[1],
-                                          state.get("att_bn"))
+    if cfg.share_att_train:
+        # image-shared teacher-forced attention (cfg docstring / PERF.md):
+        # per-row membership over the image node axis replaces the per-row
+        # gathered copies.  XLA prunes the unused att_feats gather.
+        # use_gpn rows attend over the chosen sub-graph's node set;
+        # Full-GC rows are already in image-node order (mask == att_masks).
+        if cfg.use_gpn:
+            mem = G.node_membership(chosen_ind, att_masks, cfg.obj_num)
+        else:
+            mem = att_masks
+        feats = D.prepare_features_shared_train(params, fc_feats, x_obj,
+                                                mem, cfg, train, rngs[1])
+        att_bn = state.get("att_bn")
+    else:
+        feats, att_bn = D.prepare_features_bn(params, fc_feats, att_feats,
+                                              att_masks, cfg, train, rngs[1],
+                                              state.get("att_bn"))
     if cfg.use_bn:
         new_state = {**new_state, "att_bn": att_bn}
     logprobs = D.forward_teacher(params, feats, labels, cfg, train, rngs[2],

@@ -77,12 +77,13 @@ def main():
         return lps.transpose(1, 0, 2)
 
     def measure(B, gates, remat, resid=False, n_steps=15,
-                dtype="bfloat16", ss_active=True):
+                dtype="bfloat16", ss_active=True, share=False):
         D.forward_teacher = remat_forward_teacher if remat \
             else orig_forward_teacher
         try:
             cfg = ModelConfig(vocab_size=9487, compute_dtype=dtype,
-                              bf16_lstm_gates=gates, bf16_residuals=resid)
+                              bf16_lstm_gates=gates, bf16_residuals=resid,
+                              share_att_train=share)
             tcfg = TrainConfig(batch_size=B)
             params, mstate = init_params(jax.random.PRNGKey(0), cfg,
                                          n_obj_names=cfg.num_obj_classes,
@@ -103,13 +104,25 @@ def main():
             dt = (time.time() - t0) / n_steps
             print(f"batch {B:4d} {dtype[:4]} ss={int(ss_active)} "
                   f"gates={int(gates)} remat={int(remat)} "
-                  f"resid={int(resid)}: "
+                  f"resid={int(resid)} share={int(share)}: "
                   f"{dt*1e3:7.2f} ms/step = {B/dt:7.1f} img/s "
                   f"(loss {loss:.3f})", flush=True)
         finally:
             D.forward_teacher = orig_forward_teacher
 
-    if os.environ.get("SUBGC_EXP_RESID"):
+    if os.environ.get("SUBGC_EXP_SHAREATT"):
+        # lever D grid (round 5): image-shared teacher-forced attention
+        # (cfg.share_att_train) on the hoisted path — bf16 {base, share,
+        # share+gates+resid (the full perf stack)} + f32 {base, share}
+        for B in batches:
+            measure(B, False, False, ss_active=False)
+            measure(B, False, False, ss_active=False, share=True)
+            measure(B, True, False, resid=True, ss_active=False)
+            measure(B, True, False, resid=True, ss_active=False, share=True)
+            measure(B, False, False, dtype="float32", ss_active=False)
+            measure(B, False, False, dtype="float32", ss_active=False,
+                    share=True)
+    elif os.environ.get("SUBGC_EXP_RESID"):
         # lever C grid: the hoisted (ss_active=False) headline path, bf16
         # base {baseline, resid, gates, gates+resid} + the f32 parity
         # default {baseline, resid}

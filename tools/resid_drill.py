@@ -1,4 +1,9 @@
-"""End-to-end accept drill for cfg.bf16_residuals (docs/PERF.md round 5).
+"""End-to-end accept drill for a parity-affecting train flag (PERF.md round 5).
+
+--flag resid (default) drills cfg.bf16_residuals; --flag share drills
+cfg.share_att_train (image-shared teacher-forced attention — float
+reassociation + per-image att-dropout masks).  base/seed-control runs are
+cached under --out and shared between flags.
 
 The gradient bound (tools/grad_delta_resid.py: rel global-norm 3.4e-4 in
 f32 compute) says each step's update differs from autodiff by bf16
@@ -17,8 +22,9 @@ mean) and f32 Kar eval metrics (beam 2, keep 10, 200 test images), with
 the flag's deltas judged AGAINST the seed control's — accept if
 |resid - base| is within the run-to-run noise band |seed - base|.
 
-Writes docs/resid_drill.json.  Run (TPU, ~25 min):
-  python tools/resid_drill.py
+Writes docs/{flag}_drill.json.  Run (TPU, ~25 min; ~8 min when the base and
+seed runs are already cached under --out):
+  python tools/resid_drill.py [--flag share]
 """
 from __future__ import annotations
 
@@ -38,10 +44,16 @@ def main(argv=None):
                    help="bf16_bound_prod layout (d/ dataset is reused)")
     p.add_argument("--out", default="/tmp/resid_drill")
     p.add_argument("--train_iters", type=int, default=1300)
-    p.add_argument("--json_out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "resid_drill.json"))
+    p.add_argument("--flag", choices=["resid", "share"], default="resid")
+    p.add_argument("--json_out", default=None)
     args = p.parse_args(argv)
+    flag = args.flag
+    flag_cli = {"resid": ["--bf16_residuals", "1"],
+                "share": ["--share_att_train", "1"]}[flag]
+    if args.json_out is None:
+        args.json_out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", f"{flag}_drill.json")
 
     root = os.path.join(os.path.abspath(args.base), "d")
     if not os.path.exists(root):
@@ -75,7 +87,7 @@ def main(argv=None):
 
     runs = {
         "base": ["--seed", "2019"],
-        "resid": ["--seed", "2019", "--bf16_residuals", "1"],
+        flag: ["--seed", "2019"] + flag_cli,
         "seed": ["--seed", "2020"],
     }
     ckpts = {}
@@ -140,10 +152,10 @@ def main(argv=None):
     def table(metrics):
         t = {}
         for k in metrics["base"]:
-            flag_d = metrics["resid"][k] - metrics["base"][k]
+            flag_d = metrics[flag][k] - metrics["base"][k]
             seed_d = metrics["seed"][k] - metrics["base"][k]
             t[k] = {"base": round(metrics["base"][k], 5),
-                    "resid": round(metrics["resid"][k], 5),
+                    flag: round(metrics[flag][k], 5),
                     "seed_ctrl": round(metrics["seed"][k], 5),
                     "flag_delta": round(flag_d, 5),
                     "seed_noise_delta": round(seed_d, 5)}
@@ -151,21 +163,22 @@ def main(argv=None):
 
     out = {
         "protocol": f"three identical {args.train_iters}-iter f32 prod-dim "
-                    "drill trainings (base s2019 / resid s2019+flag / "
+                    f"drill trainings (base s2019 / {flag} s2019+flag / "
                     "seed-noise control s2020); f32 Kar eval on the "
                     "200-image test split; accept if the flag's deltas sit "
                     "within the seed control's noise band",
+        "flag": " ".join(flag_cli),
         "final_train_loss": {
             **{n: round(v, 4) for n, v in loss.items()},
-            "flag_delta": round(loss["resid"] - loss["base"], 4),
+            "flag_delta": round(loss[flag] - loss["base"], 4),
             "seed_noise_delta": round(loss["seed"] - loss["base"], 4)},
         "top1": table(top),
         "oracle5": table(orc),
         "flag_within_seed_noise": {
-            "top1": sum(abs(top["resid"][k] - top["base"][k])
+            "top1": sum(abs(top[flag][k] - top["base"][k])
                         <= abs(top["seed"][k] - top["base"][k]) + 1e-9
                         for k in top["base"]),
-            "oracle5": sum(abs(orc["resid"][k] - orc["base"][k])
+            "oracle5": sum(abs(orc[flag][k] - orc["base"][k])
                            <= abs(orc["seed"][k] - orc["base"][k]) + 1e-9
                            for k in orc["base"]),
             "n_metrics": len(top["base"]),
